@@ -1,0 +1,80 @@
+"""Rule-level unit tests (SURVEY.md §5.1): pure-Python stat functions
+and the scrub core on crafted strings — no Spark needed."""
+
+from __future__ import annotations
+
+from wtq.rules import heuristics as H
+from wtq.rules import registry as R
+from wtq.rules.langid import predict_lang
+from wtq.rules.perplexity import char_perplexity
+from wtq.rules.scrub import scrub_text
+
+
+def test_registry_codes_unique():
+    codes = [r.code for r in R.RULES]
+    assert len(codes) == len(set(codes))
+
+
+def test_py_stats_basics():
+    s = H.py_stats("the cat sat on the mat")
+    assert s["n_words"] == 6
+    assert abs(s["mean_word_len"] - (3 + 3 + 3 + 2 + 3 + 3) / 6) < 1e-12
+    assert s["stopword_frac"] == 3 / 6  # 'the' ×2 + 'on'
+
+
+def test_rep_line_frac():
+    text = "aaaa\nbbbb\naaaa"
+    # 'aaaa' occurs twice → 4 duplicate chars of 12 total
+    assert abs(H.py_rep_line_frac(text) - 4 / 12) < 1e-12
+    assert H.py_rep_line_frac("x\ny\nz") == 0.0
+    assert H.py_rep_line_frac("") == 0.0
+
+
+def test_top_word_frac():
+    assert H.py_top_word_frac("a a a b") == 3 / 4
+    assert H.py_top_word_frac("") == 0.0
+
+
+def test_fired_rules_thresholds():
+    stats = H.py_stats("word " * 5)  # 5 words < MIN_WORDS
+    fired = H.py_fired_rules(stats, lang_mismatch=False, ppl=0.0, profanity_hits=0)
+    assert "Q-1" in fired
+    stats = H.py_stats(" ".join(["ok"] * 30))
+    fired = H.py_fired_rules(stats, lang_mismatch=True, ppl=R.PPL_MAX + 1, profanity_hits=2)
+    assert {"L-1", "P-1", "T-1"} <= set(fired)
+
+
+def test_scrub_pii():
+    r = scrub_text("mail me at bob.smith+x@exa-mple.co or (212) 555-1234 or 10.0.0.1 damn it")
+    assert "[EMAIL]" in r.text and "[PHONE]" in r.text and "[IP]" in r.text and "[CENSORED]" in r.text
+    assert (r.n_email, r.n_phone, r.n_ip, r.n_profanity) == (1, 1, 1, 1)
+    assert "@" not in r.text
+
+
+def test_scrub_idempotent(pages_pdf):
+    """scrub(scrub(x)) == scrub(x) byte-for-byte (SURVEY.md §5.4)."""
+    for t in pages_pdf["text"].head(100):
+        once = scrub_text(t).text
+        twice = scrub_text(once).text
+        assert once.encode() == twice.encode()
+
+
+def test_scrub_no_pii_left(pages_pdf):
+    import re
+    for t in pages_pdf["text"]:
+        out = scrub_text(t).text
+        assert not re.search(r"@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", out)
+
+
+def test_langid_on_clean_samples():
+    assert predict_lang("the cat and the dog were in the house with one of them")[0] == "en"
+    assert predict_lang("le chat et le chien sont dans la maison avec les autres")[0] == "fr"
+    assert predict_lang("der hund und die katze sind in dem haus mit einer von")[0] == "de"
+    assert predict_lang("的一是不了人我在有他这中大来上")[0] == "zh"
+    assert predict_lang("")[0] == "und"
+
+
+def test_perplexity_separates_gibberish():
+    clean = char_perplexity("the data table query row scan filter join merge sort")
+    gib = char_perplexity("xqzwv kjhgfd pqzxw vbnmk qwzxc plmkj")
+    assert clean < R.PPL_MAX < gib

@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's duplicate detection is `group by geom having count(*) > 1`
+(proccess_data.sql:204-213,222-233 — SURVEY.md §2.4 A6/J8) plus a
+canonicalized theta self-join for overlaps (`w1.id > w2.id …`,
+proccess_data.sql:243-248 — J4).  These operators are the web-text
+generalization: exact dedup is the same having-count pattern on a
+content hash; near-dup uses LSH banding so the pairwise comparison
+only ever happens *within* hash buckets, never as a global cross join
+(the J4 note in SURVEY.md §2.3).
+
+Determinism contract: every hash is derived from md5 (lowercase hex),
+mapped to a 60-bit integer, then reduced with explicit integer
+arithmetic — reproducible bit-for-bit in any engine (the DuckDB
+oracle builds the same numbers from the same SQL-visible md5), unlike
+engine-native hash() functions which differ between Spark and DuckDB.
+
+Scale notes (100 TB):
+  * token hashing + minhash is a narrow map; the only shuffles are the
+    (doc band-bucket) exchange and the bucket self-join — both keyed
+    on uniformly-distributed hashes, so no skew.
+  * bucket self-join is quadratic only within a bucket; band/row
+    parameters bound expected bucket size.  AQE skew-join is the
+    backstop for adversarial buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared constants (Spark AND oracle SQL are generated from these) ----
+MINHASH_P = 2147483647  # 2^31-1 (Mersenne prime): a*h < 2^62 — no int64 overflow
+                        # under Spark's ANSI arithmetic or DuckDB BIGINT
+N_PERM = 16
+LSH_ROWS = 2  # rows per band
+LSH_BANDS = N_PERM // LSH_ROWS  # 8 bands
+SHINGLE_K = 3
+SIMHASH_BITS = 60
+
+# fixed affine permutation parameters (a != 0, deterministic spread)
+PERM_A = [(i * 2654435761 + 1) % MINHASH_P for i in range(1, N_PERM + 1)]
+PERM_B = [(i * 40503 + 17) % MINHASH_P for i in range(1, N_PERM + 1)]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side building blocks
+# ---------------------------------------------------------------------------
+
+def token_hash(col: Column) -> Column:
+    """60-bit integer hash of a string via md5 hex → mod 2^32-5 prime.
+    `conv(substr(md5(x),1,15),16,10)` is exactly reproducible in the
+    DuckDB oracle as `cast('0x'||substr(md5(x),1,15) as bigint)`."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+
+
+def words_arr(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def shingles_arr(text: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles via index-transform over the word array —
+    no explode needed until hashing."""
+    w = words_arr(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    mk = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)])
+    )
+    return F.when(n >= k, mk).otherwise(F.array())
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup — the A6 having-count pattern."""
+    fp = F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("representative"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, perm_id, minval): min over shingle hashes of (a·h+b) mod P."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_arr(F.col(text_col)))).alias("shingle")
+    ).withColumn("h", token_hash(F.col("shingle")))
+    perms = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("perm_id"), F.lit(PERM_A[i]).alias("a"), F.lit(PERM_B[i]).alias("b"))
+            for i in range(N_PERM)
+        ])
+    ).alias("p")
+    return (
+        sh.select(id_col, "h", perms)
+        .select(id_col, F.col("p.perm_id").alias("perm_id"),
+                ((F.col("p.a") * F.col("h") + F.col("p.b")) % MINHASH_P).alias("hv"))
+        .groupBy(id_col, "perm_id")
+        .agg(F.min("hv").alias("minval"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs via banding: docs sharing ALL row
+    minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
+    doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244)."""
+    sig = minhash_signatures(df, id_col, text_col)
+    buckets = (
+        sig.withColumn("band", (F.col("perm_id") / LSH_ROWS).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(F.struct("perm_id", "minval"))).alias("sig"))
+        .withColumn(
+            "bucket",
+            F.concat_ws(
+                ":",
+                F.col("band").cast("string"),
+                F.array_join(F.transform(F.col("sig"), lambda s: s["minval"].cast("string")), ","),
+            ),
+        )
+        .select(F.col(id_col).alias("doc"), "bucket")
+    )
+    b2 = buckets.select(F.col("doc").alias("doc2"), F.col("bucket"))
+    pairs = (
+        buckets.join(b2, "bucket")
+        .filter(F.col("doc") < F.col("doc2"))
+        .groupBy(F.col("doc").alias("doc1"), F.col("doc2"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, top_n: int = 20) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle — inverted
+    index join, never a cross join. Returns top_n pairs by similarity
+    (deterministic tie-break doc1, doc2)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles_arr(F.col(text_col)))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
+        .limit(top_n)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit frequency-weighted SimHash per document."""
+    tok = df.select(
+        F.col(id_col), F.explode(words_arr(F.col(text_col))).alias("tok")
+    ).withColumn("h", token_hash(F.col("tok")))
+    bits = tok.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"))
+    # shiftright/shiftleft with a Column shift amount need expr() in PySpark
+    votes = bits.groupBy(id_col, "j").agg(
+        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB) — generated from the SAME constants
+# ---------------------------------------------------------------------------
+
+def _sql_words(text: str) -> str:
+    return f"list_filter(string_split({text}, ' '), x -> x <> '')"
+
+
+def _sql_shingles(text: str, k: int = SHINGLE_K) -> str:
+    w = _sql_words(text)
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return (
+        f"(SELECT CASE WHEN len(w) >= {k} THEN "
+        f"list_transform(range(1, len(w) - {k} + 2), i -> {parts}) "
+        f"ELSE [] END FROM (SELECT {w} AS w))"
+    )
+
+
+def sql_token_hash(expr: str) -> str:
+    return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {MINHASH_P})"
+
+
+def sql_exact_duplicates(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT md5({text_col}) AS fp, count(*) AS n_docs, min({id_col}) AS representative
+    FROM {table} GROUP BY 1
+    """
+
+
+def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str) -> str:
+    perm_rows = ", ".join(f"({i}, {PERM_A[i]}, {PERM_B[i]})" for i in range(N_PERM))
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc, unnest(list_distinct({_sql_shingles(text_col)})) AS shingle
+      FROM {table}
+    ),
+    hashed AS (SELECT doc, {sql_token_hash('shingle')} AS h FROM sh),
+    perms(perm_id, a, b) AS (VALUES {perm_rows}),
+    sig AS (
+      SELECT doc, perm_id, min((a * h + b) % {MINHASH_P}) AS minval
+      FROM hashed CROSS JOIN perms GROUP BY doc, perm_id
+    ),
+    banded AS (
+      SELECT doc, CAST(perm_id // {LSH_ROWS} AS INT) AS band, perm_id, minval FROM sig
+    ),
+    buckets AS (
+      SELECT doc,
+             (CAST(band AS VARCHAR) || ':' ||
+              string_agg(CAST(minval AS VARCHAR), ',' ORDER BY perm_id)) AS bucket
+      FROM banded GROUP BY doc, band
+    ),
+    pairs AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_shared_bands
+      FROM buckets a JOIN buckets b USING (bucket)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, n_shared_bands FROM pairs
+    """
+
+
+def sql_ngram_jaccard_pairs(table: str, id_col: str, text_col: str, top_n: int = 20) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc, unnest(list_distinct({_sql_shingles(text_col)})) AS shingle
+      FROM {table}
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc < b.doc GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc = doc1
+    JOIN sizes s2 ON s2.doc = doc2
+    ORDER BY CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) DESC, doc1, doc2
+    LIMIT {top_n}
+    """
+
+
+def sql_simhash(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS doc, unnest({_sql_words(text_col)}) AS tok FROM {table}
+    ),
+    hashed AS (SELECT doc, {sql_token_hash('tok')} AS h FROM tok),
+    bits AS (
+      SELECT doc, h, j FROM hashed
+      CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+    ),
+    votes AS (
+      SELECT doc, j, sum(((h >> j) & 1) * 2 - 1) AS v
+      FROM bits GROUP BY doc, j
+    )
+    SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc
+    """

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the
+sign-projection (SRP-LSH / IVF-style) bucketed variant is the scale
+path: candidates are generated only within a bucket (the reference's
+lateral-KNN pattern — candidate generation by coarse key + window
+top-1, proccess_data.sql:424-436, SURVEY.md §2.3 J9/W2).
+
+Determinism: all dot products cast float→double BEFORE multiplying and
+fold sequentially over the array, so Spark's `aggregate` and the
+DuckDB oracle's `list_sum(list_transform(...))` produce bit-identical
+IEEE doubles.
+
+Scale notes: brute force is O(Q·N) — fine when the query side is small
+and broadcast; the bucketed variant reduces to O(Q·N/B) with an
+equi-join shuffle on uniformly distributed buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SRP_BITS = 8  # bucket = sign bits of the first 8 dimensions
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector (self excluded).
+    The small query side is broadcast — no shuffle of the big side."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    e = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        e.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 5).alias("cos"), F.col("rn").alias("rank"))
+    )
+
+
+def srp_bucket(vec: Column, bits: int = SRP_BITS) -> Column:
+    """Sign-random-projection bucket: sign bits of the first `bits`
+    dims (deterministic axis-aligned projections)."""
+    return F.concat(
+        *[F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    )
+
+
+def lsh_top1(
+    emb: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest same-bucket neighbor per query — the J9 lateral-KNN
+    pattern: bucket equi-join for candidates, then window top-1."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), srp_bucket(F.col(vec_col)).alias("bucket")
+    )
+    e = emb.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), srp_bucket(F.col(vec_col)).alias("bucket")
+    )
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "n_id", F.round("cos", 5).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB)
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {_DIM + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def sql_brute_force_topk(table: str, n_queries: int = 5, k: int = 3) -> str:
+    cos = _sql_cos("q.embedding", "n.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id, {cos} AS cos
+      FROM {table} q JOIN {table} n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < {n_queries}
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, round(cos, 5) AS cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _sql_bucket(vec: str, bits: int = SRP_BITS) -> str:
+    parts = " || ".join(f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(bits))
+    return f"({parts})"
+
+
+def sql_lsh_top1(table: str, n_queries: int = 5) -> str:
+    cos = _sql_cos("q.embedding", "n.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding, {_sql_bucket('embedding')} AS bucket
+               FROM {table} WHERE vec_id < {n_queries}),
+         e AS (SELECT vec_id AS n_id, embedding, {_sql_bucket('embedding')} AS bucket FROM {table}),
+    scored AS (
+      SELECT q.q_id, e.n_id, {_sql_cos('q.embedding', 'e.embedding')} AS cos
+      FROM e JOIN q USING (bucket) WHERE q.q_id <> e.n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, n_id, round(cos, 5) AS cos FROM ranked WHERE rn = 1
+    """

@@ -1,0 +1,160 @@
+"""Text-analysis operators: token counting, quality scoring,
+marker-word language ID, document fingerprinting.
+
+These are SQL-expressible (differential-testable against the DuckDB
+oracle) siblings of the pipeline's Arrow-UDF scorers; pytest also
+cross-checks them against the pure-Python implementations.
+
+Determinism: identical regex dialect subset (no \\b, no lookaround —
+Java and RE2 agree on the patterns used), integer-ratio arithmetic and
+explicit rounding on every emitted double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wtq.rules.lexicon import LANG_WORDS, STOPWORDS
+
+# Word chars runs OR single non-word non-space char — a BPE-ish
+# pre-tokenizer regex (identical semantics in Java regex and RE2).
+BPE_TOKEN_RE = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"
+
+_MARKER_LANGS = ("en", "fr", "es", "de")
+
+
+def words_arr(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda w: w != "")
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(words_arr(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def _stat_cols(t: Column) -> dict[str, Column]:
+    words = words_arr(t)
+    n = F.size(words)
+    nw = F.greatest(n, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    return {
+        "n_words": n,
+        "mean_word_len": F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double") / nw,
+        "stopword_frac": F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))).cast("double") / nw,
+        "symbol_frac": (F.length(t) - F.length(F.regexp_replace(t, "[#$%&*+<=>@^_|~]", ""))).cast("double") / nw,
+    }
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite linear quality score in [0,1]-ish (pure arithmetic —
+    bit-reproducible in any engine)."""
+    s = _stat_cols(F.col(text_col))
+    score = (
+        s["stopword_frac"] * 0.5
+        + (F.lit(1.0) - F.least(s["symbol_frac"], F.lit(1.0))) * 0.3
+        + (F.lit(1.0) - F.least(F.abs(s["mean_word_len"] - 5.0) / 5.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        s["n_words"].alias("n_words"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_markers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: count per-language function words,
+    argmax with fixed tie-break order (en,fr,es,de)."""
+    words = words_arr(F.col(text_col))
+    counts = {}
+    for lang in _MARKER_LANGS:
+        arr = F.array(*[F.lit(w) for w in sorted(set(LANG_WORDS[lang]))])
+        counts[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, F.lower(w))))
+    best = F.greatest(*[counts[lang] for lang in _MARKER_LANGS])
+    pred = F.when(counts["en"] == best, "en")
+    for lang in _MARKER_LANGS[1:]:
+        pred = pred.when(counts[lang] == best, lang)
+    return df.select(
+        F.col(id_col),
+        *[counts[lang].alias(f"c_{lang}") for lang in _MARKER_LANGS],
+        pred.otherwise("und").alias("pred_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic content fingerprint (md5 of lowercase
+    whitespace-normalized text)."""
+    norm = F.array_join(words_arr(F.lower(F.col(text_col))), " ")
+    return df.select(F.col(id_col), F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB)
+# ---------------------------------------------------------------------------
+
+def _sql_words(text: str) -> str:
+    return f"list_filter(string_split({text}, ' '), x -> x <> '')"
+
+
+def sql_token_counts(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT {id_col},
+           CAST(len({_sql_words(text_col)}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}')) AS INT) AS bpe_tokens
+    FROM {table}
+    """
+
+
+def _sql_stats(text_col: str) -> dict[str, str]:
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    w = _sql_words(text_col)
+    return {
+        "n_words": f"len({w})",
+        "mean_word_len": f"CAST(list_sum(list_transform({w}, x -> length(x))) AS DOUBLE) / greatest(len({w}), 1)",
+        "stopword_frac": f"CAST(len(list_filter({w}, x -> list_contains([{stop_list}], lower(x)))) AS DOUBLE) / greatest(len({w}), 1)",
+        "symbol_frac": f"CAST(length({text_col}) - length(regexp_replace({text_col}, '[#$%&*+<=>@^_|~]', '', 'g')) AS DOUBLE) / greatest(len({w}), 1)",
+    }
+
+
+def sql_quality_score(table: str, id_col: str, text_col: str) -> str:
+    s = _sql_stats(text_col)
+    # coalesce(list_sum(...), 0) — DuckDB list_sum of empty list is NULL
+    mean = f"coalesce({s['mean_word_len']}, 0.0)"
+    score = (
+        f"{s['stopword_frac']} * 0.5"
+        f" + (1.0 - least({s['symbol_frac']}, 1.0)) * 0.3"
+        f" + (1.0 - least(abs({mean} - 5.0) / 5.0, 1.0)) * 0.2"
+    )
+    return f"""
+    SELECT {id_col}, CAST({s['n_words']} AS INT) AS n_words, round({score}, 6) AS quality_score
+    FROM {table}
+    """
+
+
+def sql_lang_markers(table: str, id_col: str, text_col: str) -> str:
+    w = _sql_words(text_col)
+    counts = {}
+    for lang in _MARKER_LANGS:
+        lst = ", ".join(f"'{x}'" for x in sorted(set(LANG_WORDS[lang])))
+        counts[lang] = f"len(list_filter({w}, x -> list_contains([{lst}], lower(x))))"
+    best = "greatest(" + ", ".join(f"c_{l}" for l in _MARKER_LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN c_{l} = {best} THEN '{l}'" for l in _MARKER_LANGS
+    ) + " ELSE 'und' END"
+    inner_cols = ", ".join(f"CAST({counts[l]} AS INT) AS c_{l}" for l in _MARKER_LANGS)
+    return f"""
+    SELECT {id_col}, {', '.join('c_' + l for l in _MARKER_LANGS)}, {case} AS pred_lang
+    FROM (SELECT {id_col}, {inner_cols} FROM {table})
+    """
+
+
+def sql_fingerprints(table: str, id_col: str, text_col: str) -> str:
+    w = _sql_words(f"lower({text_col})")
+    return f"""
+    SELECT {id_col}, md5(array_to_string({w}, ' ')) AS fp FROM {table}
+    """

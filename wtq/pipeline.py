@@ -1,0 +1,199 @@
+"""The quality-filter pipeline: scrub → score → rules → decision.
+
+Structure mirrors the reference's lifecycle (SURVEY.md §3/E2): a
+single filter-classify-route pass per record (water.lua callbacks) —
+here ONE Arrow-batched Python stage (scrub + langid + perplexity +
+repetition stats, one serialization round-trip) followed by pure
+JVM-side expression rules and the err_all-style rollup
+(proccess_data.sql:814-841).
+
+Scale design (100 TB / 10^12 docs):
+  * the only wide operations are (1) the per-url re-crawl dedup window
+    and (2) the salted repartition; everything else is narrow and
+    whole-stage-codegen or Arrow-batched.
+  * re-crawl dedup shuffles by url — at cluster scale the input
+    Iceberg table is bucketed by murmur3(url) so this exchange is
+    avoided entirely (storage-partitioned join/agg); see
+    wtq/sources/catalog.py.
+  * per-doc Python work is capped (langid 200 words, ppl 2000 chars) —
+    the cost-bounding analog of the reference's st_subdivide
+    (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wtq.rules import heuristics as H
+from wtq.rules import registry as R
+from wtq.rules.langid import MARGIN_MIN, predict_lang
+from wtq.rules.perplexity import char_perplexity
+from wtq.rules.scrub import scrub_text
+
+SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("scrubbed", T.StringType()),
+        T.StructField("n_email", T.IntegerType()),
+        T.StructField("n_phone", T.IntegerType()),
+        T.StructField("n_ip", T.IntegerType()),
+        T.StructField("n_profanity", T.IntegerType()),
+        T.StructField("pred_lang", T.StringType()),
+        T.StructField("lang_margin", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("rep_line_frac", T.DoubleType()),
+        T.StructField("top_word_frac", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(SCORE_SCHEMA)
+def score_udf(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized (Arrow-batched) scrub+score. Row-wise Python inside
+    the batch is unavoidable for regex subs / n-gram LMs, but there is
+    zero per-row Python *dispatch* — one UDF call per Arrow batch."""
+    rows = []
+    for t in texts:
+        sr = scrub_text(t)
+        lang, margin = predict_lang(sr.text)
+        ppl = char_perplexity(sr.text)
+        rows.append(
+            (
+                sr.text,
+                sr.n_email,
+                sr.n_phone,
+                sr.n_ip,
+                sr.n_profanity,
+                lang,
+                margin,
+                ppl,
+                H.py_rep_line_frac(sr.text),
+                H.py_top_word_frac(sr.text),
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in SCORE_SCHEMA.fields])
+
+
+def dedup_recrawls(pages: DataFrame) -> DataFrame:
+    """Keep the latest crawl per url (deterministic tie-break on text).
+
+    The reference's DISTINCT ON best-row-per-group pattern
+    (proccess_data.sql:372-381) as a window top-1."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("text").asc())
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> Column | DataFrame:
+    """Explicit murmur3(url)-based repartition (north-rule requirement):
+    breaks host-level skew because urls are uniformly distributed by
+    murmur3 regardless of their host.  F.hash IS Spark's murmur3."""
+    return df.repartition(num_partitions, F.pmod(F.hash(F.col("url"), F.lit(salt)), F.lit(num_partitions)))
+
+
+def decide(pages: DataFrame, num_partitions: int | None = None, dedup: bool = True) -> DataFrame:
+    """Full per-document decision DF.
+
+    Columns: url, warc_ts, lang, text (scrubbed), html, n_words,
+    pred_lang, ppl, scrub-edit counts, partition_id, fired_rules
+    array<string> (sorted), keep boolean.
+    """
+    if dedup:
+        pages = dedup_recrawls(pages)
+    if num_partitions:
+        pages = salted_repartition(pages, num_partitions)
+
+    scored = pages.withColumn("__s", score_udf(F.col("text")))
+    s = F.col("__s")
+    scrubbed = s["scrubbed"]
+    stats = H.stats_columns(scrubbed)
+    fired = H.fired_rules_expr(
+        stats,
+        rep_line_frac=s["rep_line_frac"],
+        top_word_frac=s["top_word_frac"],
+        lang_mismatch=(s["pred_lang"] != F.col("lang")) & (s["lang_margin"] >= MARGIN_MIN),
+        ppl=s["ppl"],
+        profanity_hits=s["n_profanity"],
+    )
+    return (
+        scored.select(
+            "url",
+            "warc_ts",
+            "lang",
+            "html",
+            scrubbed.alias("text"),
+            stats["n_words"].alias("n_words"),
+            s["pred_lang"].alias("pred_lang"),
+            F.round(s["ppl"], 4).alias("ppl"),
+            s["n_email"].alias("n_email"),
+            s["n_phone"].alias("n_phone"),
+            s["n_ip"].alias("n_ip"),
+            s["n_profanity"].alias("n_profanity"),
+            (s["n_email"] + s["n_phone"] + s["n_ip"] + s["n_profanity"]).alias("n_scrub_edits"),
+            F.spark_partition_id().alias("partition_id"),
+            fired.alias("fired_rules"),
+        )
+        .withColumn("keep", F.size("fired_rules") == 0)
+    )
+
+
+def decisions_view(decided: DataFrame) -> DataFrame:
+    """The err_all analog: one row per record with its fired codes."""
+    return decided.select("url", "keep", "fired_rules")
+
+
+def scrubbed_view(decided: DataFrame) -> DataFrame:
+    """Kept documents with byte-exact scrubbed text + sha256."""
+    return decided.filter("keep").select(
+        "url",
+        "text",
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("text_sha256"),
+    )
+
+
+def metrics_view(decided: DataFrame) -> DataFrame:
+    """Per-partition lineage rows — the role-histogram/conditional-count
+    pattern (proccess_data.sql:180-195, SURVEY.md §2.4 A5)."""
+    return decided.groupBy("partition_id").agg(
+        F.count("*").alias("n_input"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_drop"),
+        F.sum("n_scrub_edits").alias("n_scrub_edits"),
+    )
+
+
+def rule_fire_counts(decided: DataFrame, registry: DataFrame) -> DataFrame:
+    """Per-rule firing counts joined to the registry dim — the
+    err_codes broadcast-join analog (proccess_data.sql:837, J11)."""
+    fired = decided.select(F.explode("fired_rules").alias("code"))
+    counts = fired.groupBy("code").count()
+    return counts.join(F.broadcast(registry), "code", "left").orderBy("code")
+
+
+@dataclass
+class PipelineResult:
+    decided: DataFrame
+
+    @property
+    def decisions(self) -> DataFrame:
+        return decisions_view(self.decided)
+
+    @property
+    def scrubbed(self) -> DataFrame:
+        return scrubbed_view(self.decided)
+
+    @property
+    def metrics(self) -> DataFrame:
+        return metrics_view(self.decided)
+
+
+def run_pipeline(spark, pages_path: str, num_partitions: int | None = None) -> PipelineResult:
+    pages = spark.read.parquet(pages_path)
+    return PipelineResult(decide(pages, num_partitions=num_partitions))

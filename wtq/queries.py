@@ -1,0 +1,705 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable, with a matching ANSI-SQL oracle
+for DuckDB.  The driver compares row counts + schema + value hashes,
+sorting columns by name — every computed column is aliased identically
+on both sides, all doubles are explicitly rounded, arrays are emitted
+as delimiter-joined strings, and timestamps as epoch seconds.
+
+Each entry cites the reference operator it proves parity with
+(SURVEY.md §2 row ids: P*, J*, A*, W*, U*, O*).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wtq.operators import dedup as D
+from wtq.operators import similarity as S
+from wtq.operators import text as X
+from wtq.rules import registry as R
+from wtq.rules.lexicon import STOPWORDS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+# ---------------------------------------------------------------------------
+# Relational capability parity (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A1 multi-key agg + P1 projections (proccess_data.sql:72-76 analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """J5 multi-way join with broadcast dims (proccess_data.sql:459-461)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_rollup_acctbal(spark, sf_dir):
+    """Grouping-sets capability (SURVEY.md §2.4 'absent' row): ROLLUP."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"), F.count("*").alias("n_cust"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_bal",
+            "n_cust",
+        )
+    )
+
+
+SQL_ROLLUP_ACCTBAL = """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_top_customer_per_nation(spark, sf_dir):
+    """W1 DISTINCT ON / best-row-per-group (proccess_data.sql:372-381)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("best_bal"))
+    )
+
+
+SQL_TOP_CUSTOMER_PER_NATION = """
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS best_bal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) c JOIN nation ON c_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """J7 left-anti (proccess_data.sql:482-488)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_segment_order_stats(spark, sf_dir):
+    """Left-semi join (EXISTS) + agg."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_SEGMENT_ORDER_STATS = """
+SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+
+def q_duplicate_part_supp(spark, sf_dir):
+    """A6/J8 duplicate detection via having count>1 (proccess_data.sql:204-213)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") > 1)
+    )
+
+
+SQL_DUPLICATE_PART_SUPP = """
+SELECT l_partkey, l_suppkey, count(*) AS n_lines
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def q_supplier_pairs_per_nation(spark, sf_dir):
+    """J4 theta self-join with canonical id1<id2 (proccess_data.sql:243-248)."""
+    s = _t(spark, sf_dir, "supplier")
+    s1 = s.select(F.col("s_suppkey").alias("k1"), F.col("s_nationkey").alias("nk"))
+    s2 = s.select(F.col("s_suppkey").alias("k2"), F.col("s_nationkey").alias("nk"))
+    return (
+        s1.join(s2, "nk")
+        .filter(F.col("k1") < F.col("k2"))
+        .groupBy(F.col("nk").alias("nationkey"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+SQL_SUPPLIER_PAIRS_PER_NATION = """
+SELECT s1.s_nationkey AS nationkey, count(*) AS n_pairs
+FROM supplier s1 JOIN supplier s2
+  ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+GROUP BY 1
+"""
+
+
+def q_orders_array_membership(spark, sf_dir):
+    """J1 array-membership join: build per-customer order arrays, join
+    via array_contains (reference `= any(list)` proccess_data.sql:69-71),
+    realized scale-safely as explode + equi-join."""
+    o = _t(spark, sf_dir, "orders")
+    arrs = o.groupBy("o_custkey").agg(F.collect_list("o_orderkey").alias("order_keys"))
+    # non-equi array_contains join against a probe set of orders
+    probe = o.filter(F.col("o_orderkey") % 1000 == 0).select(F.col("o_orderkey").alias("probe_key"))
+    exploded = arrs.select("o_custkey", F.explode("order_keys").alias("k"))
+    return (
+        exploded.join(F.broadcast(probe), exploded.k == probe.probe_key)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_probe_hits"))
+    )
+
+
+SQL_ORDERS_ARRAY_MEMBERSHIP = """
+WITH arrs AS (SELECT o_custkey, list(o_orderkey) AS order_keys FROM orders GROUP BY 1),
+probe AS (SELECT o_orderkey AS probe_key FROM orders WHERE o_orderkey % 1000 = 0)
+SELECT o_custkey, count(*) AS n_probe_hits
+FROM arrs JOIN probe ON list_contains(order_keys, probe_key)
+GROUP BY o_custkey
+"""
+
+
+def q_event_pivot(spark, sf_dir):
+    """A5 conditional-count pivot (proccess_data.sql:184-189)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return e.groupBy("user_id").agg(
+        *[F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types],
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+SQL_EVENT_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """W1/W2 window top-1 with deterministic tie-break; timestamps as
+    epoch seconds for engine-neutral hashing."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       epoch_ms(ts) AS ts_ms
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_event_json_stats(spark, sf_dir):
+    """P6-analog semi-structured access (`->>`): JSON prop extraction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("*").alias("n"))
+    )
+
+
+SQL_EVENT_JSON_STATS = """
+SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Window lag + running session assignment (gap > 30 min ⇒ new
+    session) — ranking/lag capability (SURVEY.md §2.5 'absent' row)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800_000), 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH gaps AS (
+  SELECT user_id, value, ts, event_id,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+         sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_order_rule_rollup(spark, sf_dir):
+    """U3/U4 + A8: per-record fired-rule rollup, the err_all pattern
+    (proccess_data.sql:814-841) on orders."""
+    o = _t(spark, sf_dir, "orders")
+    r_a = o.filter(F.col("o_totalprice") > 300000).select("o_orderkey", F.lit("R-A").alias("code"))
+    r_b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", F.lit("R-B").alias("code"))
+    r_c = o.filter(F.col("o_orderpriority").startswith("1")).select("o_orderkey", F.lit("R-C").alias("code"))
+    fired = r_a.unionByName(r_b).unionByName(r_c)
+    return fired.groupBy("o_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list("code")), ",").alias("codes")
+    )
+
+
+SQL_ORDER_RULE_ROLLUP = """
+SELECT o_orderkey, array_to_string(list_sort(list(code)), ',') AS codes
+FROM (
+  SELECT o_orderkey, 'R-A' AS code FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT o_orderkey, 'R-B' FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, 'R-C' FROM orders WHERE o_orderpriority LIKE '1%'
+) GROUP BY o_orderkey
+"""
+
+
+def q_priority_case_ladder(spark, sf_dir):
+    """P10 CASE→code ladder (proccess_data.sql:532-535 style)."""
+    o = _t(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
+        .otherwise("cold")
+    )
+    return o.groupBy(cls.alias("priority_class")).agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price")
+    )
+
+
+SQL_PRIORITY_CASE_LADDER = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+            ELSE 'cold' END AS priority_class,
+       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_nation_segments(spark, sf_dir):
+    """A9/A11 collect_set + ordered concat (GROUP_CONCAT analog,
+    wikidata_watercources.rq:4)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ";").alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+SQL_NATION_SEGMENTS = """
+SELECT n_name, string_agg(DISTINCT c_mktsegment, ';' ORDER BY c_mktsegment) AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_words(spark, sf_dir):
+    """P4/J12 split + explode (unnest analog, proccess_data.sql:821)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+SQL_TOP_WORDS = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter rules on the documents table (SQL-differential variants
+# of the pipeline's rule battery)
+# ---------------------------------------------------------------------------
+
+def _doc_words(t):
+    return F.filter(F.split(t, " "), lambda w: w != "")
+
+
+def q_rule_word_bounds(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(_doc_words(F.col("text")))
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        ((n < R.MIN_WORDS) | (n > R.MAX_WORDS)).alias("fired"),
+    )
+
+
+SQL_RULE_WORD_BOUNDS = f"""
+SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words,
+       (len(list_filter(string_split(text, ' '), x -> x <> '')) < {R.MIN_WORDS}
+        OR len(list_filter(string_split(text, ' '), x -> x <> '')) > {R.MAX_WORDS}) AS fired
+FROM documents
+"""
+
+
+def q_rule_stopword_density(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _doc_words(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    frac = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))).cast(
+        "double"
+    ) / F.greatest(F.size(words), F.lit(1))
+    return d.select(
+        "doc_id", F.round(frac, 6).alias("stopword_frac"), (frac < R.STOPWORD_FRAC_MIN).alias("fired")
+    )
+
+
+SQL_RULE_STOPWORD_DENSITY = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                              x -> list_contains([{_STOP_SQL}], lower(x)))) AS DOUBLE)
+         / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS frac
+  FROM documents
+)
+SELECT doc_id, round(frac, 6) AS stopword_frac, frac < {R.STOPWORD_FRAC_MIN} AS fired FROM s
+"""
+
+
+def q_rule_mean_word_len(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _doc_words(F.col("text"))
+    mean = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
+        "double"
+    ) / F.greatest(F.size(words), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(mean, 6).alias("mean_word_len"),
+        ((mean < R.MIN_MEAN_WORD_LEN) | (mean > R.MAX_MEAN_WORD_LEN)).alias("fired"),
+    )
+
+
+SQL_RULE_MEAN_WORD_LEN = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                               x -> length(x))), 0) AS DOUBLE)
+         / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS mean
+  FROM documents
+)
+SELECT doc_id, round(mean, 6) AS mean_word_len,
+       (mean < {R.MIN_MEAN_WORD_LEN} OR mean > {R.MAX_MEAN_WORD_LEN}) AS fired
+FROM s
+"""
+
+
+def q_rule_top_word(spark, sf_dir):
+    """Per-doc mode via explode + two-level agg (the scalable form of
+    the repeated-content rule — A6 pattern per document)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(_doc_words(F.col("text"))).alias("word"))
+    counts = w.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("frac")
+    )
+    return per_doc.select(
+        "doc_id", F.round("frac", 6).alias("top_word_frac"), (F.col("frac") > R.TOP_WORD_FRAC_MAX).alias("fired")
+    )
+
+
+SQL_RULE_TOP_WORD = f"""
+WITH c AS (
+  SELECT doc_id, word, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+),
+f AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS frac FROM c GROUP BY doc_id)
+SELECT doc_id, round(frac, 6) AS top_word_frac, frac > {R.TOP_WORD_FRAC_MAX} AS fired FROM f
+"""
+
+
+def q_doc_decisions(spark, sf_dir):
+    """Single-pass rule battery + err_all rollup on documents (U3 note:
+    all CASEs evaluated in one scan, codes joined as one string)."""
+    d = _t(spark, sf_dir, "documents")
+    words = _doc_words(F.col("text"))
+    n = F.size(words)
+    nw = F.greatest(n, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    stop_frac = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))) / nw
+    mean = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)) / nw
+    codes = F.concat_ws(
+        ",",
+        F.when(n < R.MIN_WORDS, "Q-1"),
+        F.when(n > R.MAX_WORDS, "Q-2"),
+        F.when((mean < R.MIN_MEAN_WORD_LEN) | (mean > R.MAX_MEAN_WORD_LEN), "Q-3"),
+        F.when(stop_frac < R.STOPWORD_FRAC_MIN, "Q-6"),
+    )
+    return d.select("doc_id", codes.alias("codes"), (codes == "").alias("keep"))
+
+
+SQL_DOC_DECISIONS = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+         CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                              x -> list_contains([{_STOP_SQL}], lower(x)))) AS DOUBLE)
+           / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS stop_frac,
+         CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                               x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS mean
+  FROM documents
+)
+SELECT doc_id,
+       concat_ws(',',
+         CASE WHEN n < {R.MIN_WORDS} THEN 'Q-1' END,
+         CASE WHEN n > {R.MAX_WORDS} THEN 'Q-2' END,
+         CASE WHEN mean < {R.MIN_MEAN_WORD_LEN} OR mean > {R.MAX_MEAN_WORD_LEN} THEN 'Q-3' END,
+         CASE WHEN stop_frac < {R.STOPWORD_FRAC_MIN} THEN 'Q-6' END) AS codes,
+       (concat_ws(',',
+         CASE WHEN n < {R.MIN_WORDS} THEN 'Q-1' END,
+         CASE WHEN n > {R.MAX_WORDS} THEN 'Q-2' END,
+         CASE WHEN mean < {R.MIN_MEAN_WORD_LEN} OR mean > {R.MAX_MEAN_WORD_LEN} THEN 'Q-3' END,
+         CASE WHEN stop_frac < {R.STOPWORD_FRAC_MIN} THEN 'Q-6' END) = '') AS keep
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity operators
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    return X.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_quality_score(spark, sf_dir):
+    return X.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lang_markers(spark, sf_dir):
+    return X.lang_markers(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_fingerprints(spark, sf_dir):
+    return X.fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        F.col("doc_id").alias("doc"), "simhash"
+    )
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_ann_lsh_top1(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_top1(emb, emb.filter(F.col("vec_id") < 5))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "rollup_acctbal": q_rollup_acctbal,
+    "top_customer_per_nation": q_top_customer_per_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "segment_order_stats": q_segment_order_stats,
+    "duplicate_part_supp": q_duplicate_part_supp,
+    "supplier_pairs_per_nation": q_supplier_pairs_per_nation,
+    "orders_array_membership": q_orders_array_membership,
+    "event_pivot": q_event_pivot,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_json_stats": q_event_json_stats,
+    "sessionize_events": q_sessionize_events,
+    "order_rule_rollup": q_order_rule_rollup,
+    "priority_case_ladder": q_priority_case_ladder,
+    "nation_segments": q_nation_segments,
+    "top_words": q_top_words,
+    "rule_word_bounds": q_rule_word_bounds,
+    "rule_stopword_density": q_rule_stopword_density,
+    "rule_mean_word_len": q_rule_mean_word_len,
+    "rule_top_word": q_rule_top_word,
+    "doc_decisions": q_doc_decisions,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_markers": q_lang_markers,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "simhash": q_simhash,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh_top1": q_ann_lsh_top1,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "region_revenue": SQL_REGION_REVENUE,
+    "rollup_acctbal": SQL_ROLLUP_ACCTBAL,
+    "top_customer_per_nation": SQL_TOP_CUSTOMER_PER_NATION,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
+    "duplicate_part_supp": SQL_DUPLICATE_PART_SUPP,
+    "supplier_pairs_per_nation": SQL_SUPPLIER_PAIRS_PER_NATION,
+    "orders_array_membership": SQL_ORDERS_ARRAY_MEMBERSHIP,
+    "event_pivot": SQL_EVENT_PIVOT,
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "event_json_stats": SQL_EVENT_JSON_STATS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "order_rule_rollup": SQL_ORDER_RULE_ROLLUP,
+    "priority_case_ladder": SQL_PRIORITY_CASE_LADDER,
+    "nation_segments": SQL_NATION_SEGMENTS,
+    "top_words": SQL_TOP_WORDS,
+    "rule_word_bounds": SQL_RULE_WORD_BOUNDS,
+    "rule_stopword_density": SQL_RULE_STOPWORD_DENSITY,
+    "rule_mean_word_len": SQL_RULE_MEAN_WORD_LEN,
+    "rule_top_word": SQL_RULE_TOP_WORD,
+    "doc_decisions": SQL_DOC_DECISIONS,
+    "token_counts": X.sql_token_counts("documents", "doc_id", "text"),
+    "quality_score": X.sql_quality_score("documents", "doc_id", "text"),
+    "lang_markers": X.sql_lang_markers("documents", "doc_id", "text"),
+    "fingerprints": X.sql_fingerprints("documents", "doc_id", "text"),
+    "dedup_exact": D.sql_exact_duplicates("documents", "doc_id", "text"),
+    "dedup_minhash_lsh": D.sql_minhash_lsh_pairs("documents", "doc_id", "text"),
+    "dedup_ngram_jaccard": D.sql_ngram_jaccard_pairs("documents", "doc_id", "text"),
+    "simhash": D.sql_simhash("documents", "doc_id", "text"),
+    "ann_bruteforce": S.sql_brute_force_topk("embeddings"),
+    "ann_lsh_top1": S.sql_lsh_top1("embeddings"),
+}

@@ -1,0 +1,102 @@
+"""Deterministic character-bigram language identification.
+
+Replaces the reference's tag-derived record classification
+(water.lua:224-241 routes records by tag predicates; here the "tag" is
+the byte content of the text).  fastText is not available in this
+container, so the model is a fastText-style char-n-gram linear scorer
+whose profiles are derived at import time from the embedded wordlists
+(wtq.rules.lexicon.LANG_WORDS) — deterministic, no downloads
+(SURVEY.md §7 hard-part 5).
+
+Pure-Python scoring core shared by the Spark pandas UDF and the
+oracle, so predictions agree exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from wtq.rules.lexicon import LANG_WORDS
+
+_LANGS = sorted(LANG_WORDS)  # deterministic order: de, en, es, fr, zh
+
+
+def _bigrams(s: str):
+    s = f" {s} "
+    for i in range(len(s) - 1):
+        yield s[i : i + 2]
+
+
+@lru_cache(maxsize=1)
+def _profiles() -> dict[str, dict[str, float]]:
+    """Per-lang log P(bigram) with add-one smoothing over the observed
+    bigram vocabulary union."""
+    counts: dict[str, dict[str, int]] = {}
+    vocab: set[str] = set()
+    for lang in _LANGS:
+        c: dict[str, int] = {}
+        for w in LANG_WORDS[lang]:
+            for bg in _bigrams(w):
+                c[bg] = c.get(bg, 0) + 1
+        counts[lang] = c
+        vocab.update(c)
+    v = len(vocab) + 1
+    profiles: dict[str, dict[str, float]] = {}
+    for lang in _LANGS:
+        total = sum(counts[lang].values()) + v
+        base = -math.log(total)  # unseen bigram → log(1/total)
+        prof = {bg: math.log(n + 1) - math.log(total) for bg, n in counts[lang].items()}
+        prof["__base__"] = base
+        profiles[lang] = prof
+    return profiles
+
+
+def _cjk_fraction(s: str) -> float:
+    if not s:
+        return 0.0
+    n = sum(1 for ch in s if "一" <= ch <= "鿿")
+    return n / len(s)
+
+
+def predict_lang(text: str) -> tuple[str, float]:
+    """Return (lang, margin). margin = mean-per-bigram log-likelihood
+    gap between best and second-best language; 0.0 when undecidable."""
+    if not text:
+        return "und", 0.0
+    if _cjk_fraction(text) > 0.30:
+        return "zh", 10.0
+    profiles = _profiles()
+    # Score lowercase words only (strip digits/symbols deterministically).
+    words = [w for w in text.lower().split() if w.isalpha()]
+    if not words:
+        return "und", 0.0
+    sample = words[:200]  # cap per-doc work (cf. st_subdivide cost bound, SURVEY.md §4)
+    scores = {}
+    nbg = 0
+    for lang in _LANGS:
+        prof = profiles[lang]
+        base = prof["__base__"]
+        s = 0.0
+        n = 0
+        for w in sample:
+            for bg in _bigrams(w):
+                s += prof.get(bg, base)
+                n += 1
+        scores[lang] = s
+        nbg = n
+    if nbg == 0:
+        return "und", 0.0
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    best, second = ranked[0], ranked[1]
+    margin = (best[1] - second[1]) / nbg
+    return best[0], margin
+
+
+def predict_lang_batch(texts) -> list[tuple[str, float]]:
+    return [predict_lang(t if t is not None else "") for t in texts]
+
+
+# Confidence gate for the L-1 rule: below this margin the prediction is
+# treated as unreliable and the rule does not fire.
+MARGIN_MIN = 0.05

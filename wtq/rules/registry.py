@@ -1,0 +1,68 @@
+"""Rule registry — the ``err_codes`` analog.
+
+The reference keeps an inline dimension table of 50+ stable rule codes
+with human descriptions (proccess_data.sql:741-808) and unions the
+per-rule firings into one row per record (``err_all``,
+proccess_data.sql:814-841).  This module is that registry for the
+web-text payload: every quality rule has a stable code, a description,
+and a threshold; the pipeline emits ``array<string>`` of fired codes
+per document and ``keep = (no rule fired)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Rule:
+    code: str
+    name: str
+    description: str
+
+
+# Gopher/C4-style heuristic battery. Codes are stable API — tests and
+# golden fixtures reference them by code, mirroring how the reference's
+# web UI and err_all reference '6-2'…'6-55'.
+RULES: list[Rule] = [
+    Rule("Q-1", "word_count_low", "fewer than MIN_WORDS words after scrubbing"),
+    Rule("Q-2", "word_count_high", "more than MAX_WORDS words"),
+    Rule("Q-3", "mean_word_len", "mean word length outside [MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN]"),
+    Rule("Q-4", "symbol_ratio", "symbol-to-word ratio above SYMBOL_WORD_RATIO_MAX"),
+    Rule("Q-6", "stopword_density", "stopword fraction below STOPWORD_FRAC_MIN (non-linguistic text)"),
+    Rule("Q-7", "repeated_lines", "duplicate-line character fraction above REP_LINE_FRAC_MAX (boilerplate)"),
+    Rule("Q-8", "bullet_lines", "fraction of bullet-point lines above BULLET_LINE_FRAC_MAX"),
+    Rule("Q-9", "ellipsis_lines", "fraction of lines ending in ellipsis above ELLIPSIS_LINE_FRAC_MAX"),
+    Rule("Q-10", "top_word_frac", "most frequent word exceeds TOP_WORD_FRAC_MAX of all words"),
+    Rule("L-1", "lang_mismatch", "language-ID prediction disagrees with the crawl lang label"),
+    Rule("P-1", "perplexity", "character-n-gram perplexity above PPL_MAX (gibberish)"),
+    Rule("T-1", "toxicity", "profanity-lexicon hit count at/above PROFANITY_MIN_HITS"),
+]
+
+# Thresholds (single source of truth for pipeline AND oracle).
+MIN_WORDS = 20
+MAX_WORDS = 1000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+SYMBOL_WORD_RATIO_MAX = 0.10
+STOPWORD_FRAC_MIN = 0.05
+REP_LINE_FRAC_MAX = 0.30
+BULLET_LINE_FRAC_MAX = 0.90
+ELLIPSIS_LINE_FRAC_MAX = 0.30
+TOP_WORD_FRAC_MAX = 0.20
+PPL_MAX = 18.0
+PROFANITY_MIN_HITS = 1
+
+# Symbol set for Q-4 (exact char set — both engines count via translate)
+SYMBOLS = "#$%&*+<=>@^_|~"
+
+BULLET_PREFIXES = ("- ", "* ", "•")
+
+
+def rule_rows() -> list[tuple[str, str, str]]:
+    return [(r.code, r.name, r.description) for r in RULES]
+
+
+def registry_df(spark):
+    """Inline dim table, the err_codes analog (proccess_data.sql:741-808)."""
+    return spark.createDataFrame(rule_rows(), "code string, name string, description string")

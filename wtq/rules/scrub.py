@@ -1,0 +1,65 @@
+"""Compiled-regex PII/toxicity scrubber.
+
+Analog of the reference's tag-cleaning blocklist
+(``delete_keys`` + ``make_clean_tags_func``, water.lua:84-221): remove
+matching content from every record, drop nothing here — dropping is
+the rule battery's job.
+
+Byte-identity contract (SURVEY.md §7 hard-part 1): the pure-Python
+core below is the ONLY scrub implementation; the Spark pipeline calls
+it through an Arrow-batched pandas UDF and the oracle calls it
+directly, so scrubbed bytes agree by construction.  Python ``re`` is
+used on both sides — never JVM ``regexp_replace`` — because Java and
+Python regex semantics differ at the margins (POSIX ``\\y`` vs ``\\b``
+note, SURVEY.md §2.2 P9).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+from wtq.rules.lexicon import PROFANITY_WORDS
+
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+PHONE_RE = re.compile(
+    r"(?<!\d)(?:\+?\d{1,2}[ \-.])?(?:\(\d{3}\)[ \-.]?|\d{3}[ \-.])\d{3}[ \-.]\d{4}(?!\d)"
+)
+IPV4_RE = re.compile(r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)")
+PROFANITY_RE = re.compile(
+    r"(?i)\b(?:" + "|".join(re.escape(w) for w in PROFANITY_WORDS) + r")\b"
+)
+
+EMAIL_TOKEN = "[EMAIL]"
+PHONE_TOKEN = "[PHONE]"
+IP_TOKEN = "[IP]"
+PROFANITY_TOKEN = "[CENSORED]"
+
+
+class ScrubResult(NamedTuple):
+    text: str
+    n_email: int
+    n_phone: int
+    n_ip: int
+    n_profanity: int
+
+    @property
+    def n_edits(self) -> int:
+        return self.n_email + self.n_phone + self.n_ip + self.n_profanity
+
+
+def scrub_text(text: str) -> ScrubResult:
+    """Scrub one document. Order matters and is part of the contract:
+    email → phone → ip → profanity (emails may contain digits that
+    would otherwise confuse the phone pattern)."""
+    if text is None:
+        return ScrubResult("", 0, 0, 0, 0)
+    out, n_email = EMAIL_RE.subn(EMAIL_TOKEN, text)
+    out, n_phone = PHONE_RE.subn(PHONE_TOKEN, out)
+    out, n_ip = IPV4_RE.subn(IP_TOKEN, out)
+    out, n_prof = PROFANITY_RE.subn(PROFANITY_TOKEN, out)
+    return ScrubResult(out, n_email, n_phone, n_ip, n_prof)
+
+
+def scrub_batch(texts) -> list[ScrubResult]:
+    return [scrub_text(t) for t in texts]
