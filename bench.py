@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipeline + representative operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "pipeline_docs_per_sec", "value": N, "unit": "docs/sec",
+     "queries": {...per-query seconds...}, "sf": ..., "cpus": ...,
+     "n_docs": ...}
+
+The pipeline metric is end-to-end: read pages parquet → re-crawl dedup
+→ salted repartition → Arrow scrub/score → rule battery → write
+decisions + scrubbed + metrics to parquet sinks (real I/O included).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("WTQ_BENCH_REPLICATE", "8"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from wtq.generate import ensure_pages
+    from wtq.pipeline import run_pipeline
+    from wtq.queries import QUERIES
+    from wtq.session import get_spark
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    pages_path = ensure_pages(sf_dir, replicate=replicate)
+
+    spark = get_spark("wtq-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    n_pages = spark.read.parquet(pages_path).count()
+    log(f"bench: sf_dir={sf_dir} cpus={cpus} pages={n_pages}")
+
+    # -- warmup: JIT/codegen + Python worker pool spin-up (not timed) --
+    run_pipeline(spark, pages_path, num_partitions=cpus).decided.select(
+        F.count("*")
+    ).collect()
+
+    # -- headline: full pipeline with real sinks --
+    # Materialize the decided stage ONCE (the reference's CTAS-at-fan-out
+    # pattern, SURVEY.md §3/E1), then derive the three output views from
+    # the materialized parquet — cheaper than recomputing or caching.
+    from wtq.pipeline import decisions_view, metrics_view, scrubbed_view
+
+    out = tempfile.mkdtemp(prefix="wtq_bench_")
+    t0 = time.time()
+    res = run_pipeline(spark, pages_path, num_partitions=cpus * 4)
+    res.decided.write.mode("overwrite").parquet(f"{out}/decided")
+    t1 = time.time()
+    log(f"  decided write: {t1 - t0:.2f}s")
+    decided = spark.read.parquet(f"{out}/decided")
+    n_docs = decided.count()
+    decisions_view(decided).write.mode("overwrite").parquet(f"{out}/decisions")
+    scrubbed_view(decided).write.mode("overwrite").parquet(f"{out}/scrubbed")
+    metrics_view(decided).write.mode("overwrite").parquet(f"{out}/metrics")
+    log(f"  derived views: {time.time() - t1:.2f}s")
+    pipeline_sec = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    docs_per_sec = n_docs / pipeline_sec
+    log(f"pipeline: {n_docs} docs in {pipeline_sec:.2f}s = {docs_per_sec:.0f} docs/sec")
+
+    # -- representative operator queries --
+    headline = [
+        "pricing_summary",
+        "region_revenue",
+        "latest_event_per_user",
+        "event_pivot",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "simhash",
+        "ann_bruteforce",
+        "doc_decisions",
+        "top_words",
+    ]
+    q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
+    for name in headline:
+        t0 = time.time()
+        # full collect (results are small) so no column gets pruned away
+        n = len(QUERIES[name](spark, sf_dir).collect())
+        q_times[name] = round(time.time() - t0, 3)
+        log(f"{name}: {q_times[name]}s ({n} rows)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_docs_per_sec",
+                "value": round(docs_per_sec, 1),
+                "unit": "docs/sec",
+                "queries": q_times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,26 @@ def _cjk_fraction(s: str) -> float:
     return n / len(s)
 
 
+@lru_cache(maxsize=262144)
+def _word_scores(w: str) -> tuple[tuple[float, ...], int]:
+    """Per-word log-likelihood under each language profile (+ bigram
+    count).  Word-level memoization: function words repeat constantly
+    in natural text, so the hit rate is high and deterministic."""
+    profiles = _profiles()
+    scores = []
+    n = 0
+    for lang in _LANGS:
+        prof = profiles[lang]
+        base = prof["__base__"]
+        s = 0.0
+        n = 0
+        for bg in _bigrams(w):
+            s += prof.get(bg, base)
+            n += 1
+        scores.append(s)
+    return tuple(scores), n
+
+
 def predict_lang(text: str) -> tuple[str, float]:
     """Return (lang, margin). margin = mean-per-bigram log-likelihood
     gap between best and second-best language; 0.0 when undecidable."""
@@ -66,31 +86,23 @@ def predict_lang(text: str) -> tuple[str, float]:
         return "und", 0.0
     if _cjk_fraction(text) > 0.30:
         return "zh", 10.0
-    profiles = _profiles()
     # Score lowercase words only (strip digits/symbols deterministically).
     words = [w for w in text.lower().split() if w.isalpha()]
     if not words:
         return "und", 0.0
     sample = words[:200]  # cap per-doc work (cf. st_subdivide cost bound, SURVEY.md §4)
-    scores = {}
+    totals = [0.0] * len(_LANGS)
     nbg = 0
-    for lang in _LANGS:
-        prof = profiles[lang]
-        base = prof["__base__"]
-        s = 0.0
-        n = 0
-        for w in sample:
-            for bg in _bigrams(w):
-                s += prof.get(bg, base)
-                n += 1
-        scores[lang] = s
-        nbg = n
+    for w in sample:
+        ws, n = _word_scores(w)
+        for i, s in enumerate(ws):
+            totals[i] += s
+        nbg += n
     if nbg == 0:
         return "und", 0.0
-    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-    best, second = ranked[0], ranked[1]
-    margin = (best[1] - second[1]) / nbg
-    return best[0], margin
+    ranked = sorted(zip(totals, _LANGS), key=lambda kv: (-kv[0], kv[1]))
+    margin = (ranked[0][0] - ranked[1][0]) / nbg
+    return ranked[0][1], margin
 
 
 def predict_lang_batch(texts) -> list[tuple[str, float]]:
