@@ -1,0 +1,38 @@
+"""Structured Streaming tests: AvailableNow drain equals batch results;
+custom stateful operator (applyInPandasWithState) equals batch agg."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wtq.streaming.ingest import running_user_totals, windowed_event_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_equal_batch(spark, tmp_path):
+    got = windowed_event_counts(spark, SF_DIR, str(tmp_path / "ck1")).toPandas()
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis("w.start").alias("window_ms"), "event_type", "n")
+        .toPandas()
+    )
+    g = got[["window_ms", "event_type", "n"]].sort_values(["window_ms", "event_type"]).reset_index(drop=True)
+    b = batch.sort_values(["window_ms", "event_type"]).reset_index(drop=True)
+    assert g.equals(b)
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    got = running_user_totals(spark, SF_DIR, str(tmp_path / "ck2")).toPandas()
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+    )
+    m = got.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) == len(batch) == len(got)
+    assert (m.n_s == m.n_b).all()
+    assert (abs(m.total_s - m.total_b) < 1e-9).all()

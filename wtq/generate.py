@@ -191,6 +191,9 @@ def ensure_pages(sf_dir: str, replicate: int = 1, cache_root: str = "/tmp/wtq_pa
     if not os.path.exists(out):
         os.makedirs(os.path.dirname(out), exist_ok=True)
         tmp = out + ".tmp"
-        generate_pages_pdf(sf_dir, replicate).to_parquet(tmp, index=False)
+        # bounded row groups: Spark parallelizes scans at row-group
+        # granularity — a single giant row group makes the file
+        # unsplittable and serializes the whole scan into one task
+        generate_pages_pdf(sf_dir, replicate).to_parquet(tmp, index=False, row_group_size=8192)
         os.replace(tmp, out)
     return out

@@ -630,6 +630,24 @@ def q_ann_lsh_top1(spark, sf_dir):
     return S.lsh_top1(emb, emb.filter(F.col("vec_id") < 5))
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing: mapInPandas feature extraction over an
+    opaque blob column (decode stubbed — wtq/operators/multimodal.py)."""
+    from wtq.operators.multimodal import multimodal_features
+
+    return multimodal_features(_t(spark, sf_dir, "documents"))
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming (Trigger.AvailableNow) windowed rollup with
+    watermark — equals the batch time_bucket rollup on a static input."""
+    import tempfile
+
+    from wtq.streaming.ingest import windowed_event_counts
+
+    return windowed_event_counts(spark, sf_dir, tempfile.mkdtemp(prefix="wtq_stream_ckpt_"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -667,6 +685,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh_top1": q_ann_lsh_top1,
+    "multimodal_features": q_multimodal_features,
+    "stream_windowed_counts": q_stream_windowed_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -703,3 +723,10 @@ ORACLE_SQL: dict[str, str] = {
     "ann_bruteforce": S.sql_brute_force_topk("embeddings"),
     "ann_lsh_top1": S.sql_lsh_top1("embeddings"),
 }
+
+# late imports to keep module import light
+from wtq.operators.multimodal import sql_multimodal_features as _sql_mm  # noqa: E402
+from wtq.streaming.ingest import SQL_WINDOWED_EVENT_COUNTS as _sql_stream  # noqa: E402
+
+ORACLE_SQL["multimodal_features"] = _sql_mm("documents", "doc_id", "text")
+ORACLE_SQL["stream_windowed_counts"] = _sql_stream

@@ -1,0 +1,35 @@
+"""File sources: CSV with declared schema, JSONL.
+
+The reference ingests a SPARQL-exported CSV into a pre-declared DDL
+(S4: ``\\copy raw_wikidata_waterways_ru from ... csv header`` after
+explicit column DDL, bash/import_wikidata:14-16) — never schema
+inference in production.  Same policy here: CSV/JSONL loads take an
+explicit StructType; inference is opt-in for exploration only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True, sep: str = ",") -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "FAILFAST")  # bad rows are a data bug, not noise
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

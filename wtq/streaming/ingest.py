@@ -1,0 +1,118 @@
+"""Structured Streaming ingestion.
+
+The reference is purely batch (SURVEY.md §2.9) — snapshot download →
+full reprocess (bash/run_all:1-5).  The idiomatic Spark upgrade path
+it calls out is incremental processing via ``Trigger.AvailableNow``:
+the stream reads whatever is available, processes it with the same
+logic as batch, checkpoints, and stops — giving resumable incremental
+runs without a long-lived cluster.  This module provides that path
+for the events table (windowed rollups) and a custom stateful
+operator (per-user running counters) via ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+_sink_counter = itertools.count()
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _run_available_now(stream_df: DataFrame, checkpoint: str, mode: str = "complete") -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink
+    and return the result as a (batch) DataFrame."""
+    name = f"wtq_stream_sink_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str, checkpoint: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 1-hour watermark over the events
+    table read as a stream (one file = one micro-batchable source).
+    Late rows beyond the watermark would be dropped — none exist in
+    the snapshot, so results equal the batch time_bucket rollup."""
+    # streaming file source needs a directory; glob-filter to the events file
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "1 hour")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = _run_available_now(agg, checkpoint)
+    return out.select(
+        F.unix_millis(F.col("w.start")).alias("window_ms"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+SQL_WINDOWED_EVENT_COUNTS = """
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_ms,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+_STATE_SCHEMA = "user_id long, n long, total double"
+_OUT_SCHEMA = "user_id long, n long, total double"
+
+
+def _update_user_state(key, pdfs, state: GroupState):
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame([{"user_id": user_id, "n": n, "total": total}])
+
+
+def running_user_totals(spark: SparkSession, sf_dir: str, checkpoint: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total (SURVEY.md §2.9 upgrade path)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stateful = (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_available_now(stateful, checkpoint, mode="update")
