@@ -1,0 +1,59 @@
+"""Plan-shape regression tests (SURVEY.md §4 discipline): broadcasts
+stay broadcasts, filters reach the scan, the pipeline keeps exactly one
+wide exchange, and no Python UDF appears outside the scoring pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wtq.pipeline import decide
+from wtq.plans.audit import assert_in_plan, count_occurrences, plan_string
+from wtq.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_broadcast_dims_in_region_revenue(spark):
+    df = QUERIES["region_revenue"](spark, SF_DIR)
+    assert count_occurrences(df, "BroadcastHashJoin") >= 2  # nation, region
+
+
+def test_filter_pushdown_pricing_summary(spark):
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: html-less lineitem scan reads only needed columns
+    assert "l_comment" not in plan
+
+
+def test_left_anti_is_planned(spark):
+    df = QUERIES["customers_without_orders"](spark, SF_DIR)
+    assert "LeftAnti" in plan_string(df)
+
+
+def test_pipeline_single_wide_exchange(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    df = decide(pages, num_partitions=8)
+    plan = plan_string(df, mode="simple")
+    # one exchange for the salted repartition; the dedup window reuses it
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "WindowGroupLimit" in plan  # top-1 dedup optimized
+    assert plan.count("ArrowEvalPython") == 1  # exactly one Python pass
+    assert "html" not in plan  # pruned before it ever reaches the scan
+
+
+def test_window_top1_uses_group_limit(spark):
+    df = QUERIES["latest_event_per_user"](spark, SF_DIR)
+    assert "WindowGroupLimit" in plan_string(df)
+
+
+def test_ann_broadcasts_query_side(spark):
+    df = QUERIES["ann_bruteforce"](spark, SF_DIR)
+    assert "BroadcastNestedLoopJoin" in plan_string(df) or "BroadcastHashJoin" in plan_string(df)
+
+
+def test_whole_stage_codegen_in_agg(spark):
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only on execution
+    # '*(n)' prefixes mark WholeStageCodegen spans in the executed plan
+    assert "*(" in df._jdf.queryExecution().executedPlan().toString()

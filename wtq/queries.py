@@ -41,9 +41,9 @@ def q_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount").cast("decimal(18,4)"))).cast("double"), 2).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -51,9 +51,9 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -75,7 +75,7 @@ def q_region_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount").cast("decimal(18,4)"))).cast("double"), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -83,7 +83,7 @@ def q_region_revenue(spark, sf_dir):
 
 SQL_REGION_REVENUE = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -104,7 +104,7 @@ def q_rollup_acctbal(spark, sf_dir):
     )
     return (
         j.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"), F.count("*").alias("n_cust"))
+        .agg(F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2).alias("total_bal"), F.count("*").alias("n_cust"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -116,7 +116,7 @@ def q_rollup_acctbal(spark, sf_dir):
 
 SQL_ROLLUP_ACCTBAL = """
 SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-       round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_bal, count(*) AS n_cust
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -166,12 +166,12 @@ def q_segment_order_stats(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.join(c, o.o_custkey == c.c_custkey, "left_semi")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).alias("total"))
     )
 
 
 SQL_SEGMENT_ORDER_STATS = """
-SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
 FROM orders
 WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
 """
@@ -245,7 +245,7 @@ def q_event_pivot(spark, sf_dir):
     types = ["click", "error", "purchase", "signup", "view"]
     return e.groupBy("user_id").agg(
         *[F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types],
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
     )
 
 
@@ -256,7 +256,7 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
        count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
        count(*) FILTER (WHERE event_type = 'view') AS n_view,
-       round(sum(value), 4) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
 FROM events GROUP BY user_id
 """
 
@@ -317,7 +317,7 @@ def q_sessionize_events(spark, sf_dir):
     return (
         e.withColumn("session_id", sess)
         .groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("session_value"))
     )
 
 
@@ -335,7 +335,7 @@ sess AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM gaps
 )
-SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 4) AS session_value
+SELECT user_id, session_id, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS session_value
 FROM sess GROUP BY user_id, session_id
 """
 
@@ -630,6 +630,113 @@ def q_ann_lsh_top1(spark, sf_dir):
     return S.lsh_top1(emb, emb.filter(F.col("vec_id") < 5))
 
 
+def q_orders_concat_sorted(spark, sf_dir):
+    """A3 ordered collect with computed sort key (array_agg(x ORDER BY
+    f(x)), proccess_data.sql:53-61): collect_list(struct) + array_sort
+    + transform."""
+    o = _t(spark, sf_dir, "orders")
+    arr = F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey")))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.transform(arr, lambda s: s["o_orderkey"].cast("string")), ",").alias("orderkeys")
+    )
+
+
+SQL_ORDERS_CONCAT_SORTED = """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey) AS orderkeys
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_cust_supp_nation_matrix(spark, sf_dir):
+    """J6 double join of the same dim (role lookup for two sides,
+    proccess_data.sql:282-286): nation joined once for the customer
+    side and once for the supplier side of each lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(n2), su.s_nationkey == F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount").cast("decimal(18,4)"))).cast("double"), 2).alias("revenue"))
+    )
+
+
+SQL_CUST_SUPP_NATION_MATRIX = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_asof_view_before_purchase(spark, sf_dir):
+    """As-of backward join (SURVEY.md §2.3 'absent' row): latest
+    view-event value at or before each purchase, per user — union +
+    running last_value, one shuffle (wtq/operators/asof.py)."""
+    from wtq.operators.asof import asof_join_backward
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    out = asof_join_backward(purchases, views, key="user_id", ts="ts", value_col="v", out_col="last_view_value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.round("last_view_value", 4).alias("last_view_value"),
+    )
+
+
+SQL_ASOF_VIEW_BEFORE_PURCHASE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, max_by(value, event_id) AS v
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, round(v.v, 4) AS last_view_value
+FROM purchases p ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_props_keys(spark, sf_dir):
+    """J12/P7 map-key surface: JSON props → map, explode keys
+    (jsonb_object_keys analog, proccess_data.sql:635)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_PROPS_KEYS = """
+SELECT key, count(*) AS n
+FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+GROUP BY key
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload plumbing: mapInPandas feature extraction over an
     opaque blob column (decode stubbed — wtq/operators/multimodal.py)."""
@@ -687,6 +794,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_top1": q_ann_lsh_top1,
     "multimodal_features": q_multimodal_features,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "orders_concat_sorted": q_orders_concat_sorted,
+    "cust_supp_nation_matrix": q_cust_supp_nation_matrix,
+    "asof_view_before_purchase": q_asof_view_before_purchase,
+    "props_keys": q_props_keys,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -722,6 +833,10 @@ ORACLE_SQL: dict[str, str] = {
     "simhash": D.sql_simhash("documents", "doc_id", "text"),
     "ann_bruteforce": S.sql_brute_force_topk("embeddings"),
     "ann_lsh_top1": S.sql_lsh_top1("embeddings"),
+    "orders_concat_sorted": SQL_ORDERS_CONCAT_SORTED,
+    "cust_supp_nation_matrix": SQL_CUST_SUPP_NATION_MATRIX,
+    "asof_view_before_purchase": SQL_ASOF_VIEW_BEFORE_PURCHASE,
+    "props_keys": SQL_PROPS_KEYS,
 }
 
 # late imports to keep module import light
