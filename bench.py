@@ -50,8 +50,10 @@ def main() -> None:
     log(f"bench: sf_dir={sf_dir} cpus={cpus} pages={n_pages}")
 
     # -- warmup: JIT/codegen + Python worker pool spin-up (not timed) --
-    run_pipeline(spark, pages_path, num_partitions=cpus).decided.select(
-        F.count("*")
+    # (must aggregate a UDF-derived column: count(*) would let Catalyst
+    # prune the Python scoring pass and warm nothing)
+    run_pipeline(spark, pages_path, num_partitions=cpus).decided.agg(
+        F.sum(F.size("fired_rules"))
     ).collect()
 
     # -- headline: full pipeline with real sinks --
