@@ -26,8 +26,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---- shared constants (Spark AND oracle SQL are generated from these) ----
 MINHASH_P = 2147483647  # 2^31-1 (Mersenne prime): a*h < 2^62 — no int64 overflow
@@ -83,44 +85,92 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, perm_id, minval): min over shingle hashes of (a·h+b) mod P."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_arr(F.col(text_col)))).alias("shingle")
-    ).withColumn("h", token_hash(F.col("shingle")))
-    perms = F.explode(
-        F.array(*[
-            F.struct(F.lit(i).alias("perm_id"), F.lit(PERM_A[i]).alias("a"), F.lit(PERM_B[i]).alias("b"))
-            for i in range(N_PERM)
-        ])
-    ).alias("p")
-    return (
-        sh.select(id_col, "h", perms)
-        .select(id_col, F.col("p.perm_id").alias("perm_id"),
-                ((F.col("p.a") * F.col("h") + F.col("p.b")) % MINHASH_P).alias("hv"))
-        .groupBy(id_col, "perm_id")
-        .agg(F.min("hv").alias("minval"))
+def _sig_batch(texts) -> list[list[int]]:
+    """Vectorized minhash core (numpy): identical arithmetic to the SQL
+    oracle — md5-hex→int60 mod P, then min over (a·h+b) mod P.
+    a·h < 2^62 so int64 never overflows."""
+    import hashlib
+
+    import numpy as np
+
+    A = np.asarray(PERM_A, dtype=np.int64)[:, None]
+    B = np.asarray(PERM_B, dtype=np.int64)[:, None]
+    out = []
+    sentinel = [MINHASH_P] * N_PERM
+    for t in texts:
+        words = [w for w in (t or "").split(" ") if w]
+        if len(words) < SHINGLE_K:
+            out.append(sentinel)
+            continue
+        shingles = {
+            " ".join(words[i : i + SHINGLE_K]) for i in range(len(words) - SHINGLE_K + 1)
+        }
+        hs = np.fromiter(
+            (int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P for x in shingles),
+            dtype=np.int64,
+            count=len(shingles),
+        )
+        out.append(((A * hs + B) % MINHASH_P).min(axis=1).tolist())
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _sig_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(_sig_batch(texts))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """(id, sig array<long>[N_PERM]): per-permutation min over shingle
+    hashes of (a·h+b) mod P.
+
+    Arrow-batched numpy implementation. Two slower shapes were measured
+    and rejected: explode-shingles × explode-perms + groupBy shuffles
+    |docs|·|shingles|·N_PERM rows through an aggregation; pure
+    higher-order expressions are interpreted (no codegen) and pay
+    O(|shingles|²) array_distinct plus the md5 hash re-inlined into
+    every lambda body by projection collapsing — ~100× slower than this
+    batch.  The DuckDB oracle (sql_minhash_lsh_pairs) reproduces the
+    arithmetic bit-for-bit from the SQL-visible md5.  Docs with no
+    shingle get sentinel MINHASH_P (real minvals are always < P).
+    """
+    # rebalance: signature compute is the heavy narrow stage, and a
+    # single giant input split would serialize it
+    base = df.select(F.col(id_col), F.col(text_col)).repartition(
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
     )
+    return base.select(F.col(id_col), _sig_udf(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Candidate near-duplicate pairs via banding: docs sharing ALL row
     minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
     doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244)."""
-    sig = minhash_signatures(df, id_col, text_col)
-    buckets = (
-        sig.withColumn("band", (F.col("perm_id") / LSH_ROWS).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.array_sort(F.collect_list(F.struct("perm_id", "minval"))).alias("sig"))
-        .withColumn(
-            "bucket",
-            F.concat_ws(
-                ":",
-                F.col("band").cast("string"),
-                F.array_join(F.transform(F.col("sig"), lambda s: s["minval"].cast("string")), ","),
+    # drop shingle-less docs (sentinel P appears only for those — real
+    # minvals are < P), matching the explode form where they simply
+    # produce no rows
+    sig = minhash_signatures(df, id_col, text_col).filter(
+        F.element_at("sig", 1) != MINHASH_P
+    )
+    # band buckets straight from the signature array — still narrow;
+    # the ONLY shuffle in the whole operator is the bucket equi-join
+    band_strs = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(LSH_ROWS - 1)),
+                    lambda r: F.element_at(F.col("sig"), (b * LSH_ROWS + r + 1).cast("int")).cast("string"),
+                ),
+                ",",
             ),
-        )
-        .select(F.col(id_col).alias("doc"), "bucket")
+        ),
+    )
+    buckets = sig.select(
+        F.col(id_col).alias("doc"), F.explode(band_strs).alias("bucket")
     )
     b2 = buckets.select(F.col("doc").alias("doc2"), F.col("bucket"))
     pairs = (
