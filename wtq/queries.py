@@ -24,7 +24,18 @@ from wtq.rules.lexicon import STOPWORDS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The driver-provided parquet files are written as a SINGLE row
+    # group, which Spark cannot split — every scan would run as one
+    # task and serialize the whole query.  Rebalance undersized reads;
+    # Catalyst still pushes filters and column pruning through
+    # Repartition to the scan (asserted in tests/test_plan_shapes.py).
+    # At cluster scale the source tables are properly partitioned and
+    # this is a no-op.
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p // 2:
+        df = df.repartition(p)
+    return df
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))

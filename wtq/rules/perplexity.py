@@ -38,23 +38,40 @@ def _model() -> tuple[dict[str, int], dict[str, int], int]:
     return tri, bi, vocab
 
 
-def char_perplexity(text: str, max_chars: int = 2000) -> float:
-    """Per-char perplexity under the trigram LM; 0.0 for empty text.
-    Work is capped at max_chars per document to keep Arrow batches
-    balanced (cost-bounding analog of st_subdivide, SURVEY.md §4)."""
-    if not text:
-        return 0.0
+@lru_cache(maxsize=262144)
+def _word_ll(w: str) -> tuple[float, int]:
+    """(sum log-prob, n trigrams) for one space-padded word.  Word-level
+    memoization: natural text repeats words constantly, so the hit rate
+    is high and deterministic (same trick as langid._word_scores)."""
     tri, bi, vocab = _model()
-    s = "  " + text.lower()[:max_chars]
+    s = "  " + w + " "
     ll = 0.0
     n = 0
     for i in range(len(s) - 2):
-        ctx = s[i : i + 2]
-        tg = s[i : i + 3]
-        num = tri.get(tg, 0) + 1
-        den = bi.get(ctx, 0) + vocab
+        num = tri.get(s[i : i + 3], 0) + 1
+        den = bi.get(s[i : i + 2], 0) + vocab
         ll += math.log(num / den)
         n += 1
+    return ll, n
+
+
+def char_perplexity(text: str, max_words: int = 400) -> float:
+    """Per-char perplexity under the trigram LM, computed word-by-word
+    (each word scored in a space-padded context, totals pooled); 0.0
+    for empty text.  Work is capped at max_words per document to keep
+    Arrow batches balanced (cost-bounding analog of st_subdivide,
+    SURVEY.md §4)."""
+    if not text:
+        return 0.0
+    words = text.lower().split()
+    if not words:
+        return 0.0
+    ll = 0.0
+    n = 0
+    for w in words[:max_words]:
+        wll, wn = _word_ll(w)
+        ll += wll
+        n += wn
     if n == 0:
         return 0.0
     return math.exp(-ll / n)
