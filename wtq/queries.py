@@ -729,6 +729,62 @@ FROM purchases p ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.t
 """
 
 
+def q_normalize_parts(spark, sf_dir):
+    """P2 replace + P3 nullif + P4 split + P5 coalesce in one
+    normalization pass (the tmp_wikidata stage analog,
+    proccess_data.sql:13-27)."""
+    p = _t(spark, sf_dir, "part")
+    brand_num = F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit(""))
+    first_type_word = F.element_at(F.split("p_type", " "), 1)
+    return (
+        p.select(
+            brand_num.alias("brand_num"),
+            F.coalesce(F.nullif(first_type_word, F.lit("")), F.lit("unknown")).alias("type_head"),
+        )
+        .groupBy("brand_num", "type_head")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_NORMALIZE_PARTS = """
+SELECT replace(p_brand, 'Brand#', '') AS brand_num,
+       coalesce(nullif(string_split(p_type, ' ')[1], ''), 'unknown') AS type_head,
+       count(*) AS n
+FROM part GROUP BY 1, 2
+"""
+
+
+def q_intersect_except(spark, sf_dir):
+    """Set ops noted absent in the reference (SURVEY.md §2.7):
+    INTERSECT and EXCEPT over customer key sets."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big_spenders = (
+        o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        .filter(F.col("s") > 500000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    # global agg (not groupBy) so an empty set still yields its 0-count
+    # row, matching the SQL scalar counts
+    inter = building.intersect(big_spenders).agg(F.count("*").alias("n")).withColumn(
+        "setop", F.lit("intersect")
+    )
+    exc = building.exceptAll(big_spenders).distinct().agg(F.count("*").alias("n")).withColumn(
+        "setop", F.lit("except")
+    )
+    return inter.unionByName(exc).select("setop", "n")
+
+
+SQL_INTERSECT_EXCEPT = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (SELECT o_custkey AS c_custkey FROM orders GROUP BY 1 HAVING sum(o_totalprice) > 500000)
+SELECT 'intersect' AS setop, count(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+"""
+
+
 def q_props_keys(spark, sf_dir):
     """J12/P7 map-key surface: JSON props → map, explode keys
     (jsonb_object_keys analog, proccess_data.sql:635)."""
@@ -809,6 +865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cust_supp_nation_matrix": q_cust_supp_nation_matrix,
     "asof_view_before_purchase": q_asof_view_before_purchase,
     "props_keys": q_props_keys,
+    "normalize_parts": q_normalize_parts,
+    "intersect_except": q_intersect_except,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -848,6 +906,8 @@ ORACLE_SQL: dict[str, str] = {
     "cust_supp_nation_matrix": SQL_CUST_SUPP_NATION_MATRIX,
     "asof_view_before_purchase": SQL_ASOF_VIEW_BEFORE_PURCHASE,
     "props_keys": SQL_PROPS_KEYS,
+    "normalize_parts": SQL_NORMALIZE_PARTS,
+    "intersect_except": SQL_INTERSECT_EXCEPT,
 }
 
 # late imports to keep module import light
