@@ -79,3 +79,24 @@ def test_partitioning_determinism(spark, pages_path, decided):
 def test_scrub_edit_counts_positive(decided):
     n = decided.filter(F.col("n_scrub_edits") > 0).count()
     assert n > 0  # PII was planted, so some docs must be edited
+
+
+def test_differential_at_sf01(spark):
+    """Same differential at 10x scale (5000 base docs) — catches
+    boundary effects that only appear with more rows."""
+    import pandas as pd
+
+    from wtq.generate import ensure_pages
+
+    path = ensure_pages("/root/testdata/sf0.1")
+    got = (
+        run_pipeline(spark, path, num_partitions=16)
+        .decided.select("url", "keep", "fired_rules")
+        .toPandas()
+    )
+    exp = oracle_decide(pd.read_parquet(path))
+    m = got.merge(exp, on="url", suffixes=("_s", "_o"))
+    assert len(m) == len(exp) == len(got)
+    assert (m.keep_s == m.keep_o).all()
+    bad = [u for u, a, b in zip(m.url, m.fired_rules_s, m.fired_rules_o) if list(a) != list(b)]
+    assert not bad, bad[:5]

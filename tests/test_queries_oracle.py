@@ -15,7 +15,11 @@ import pytest
 
 from wtq.queries import ORACLE_SQL, QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+# default sf0.001 for fast CI; set WTQ_ORACLE_SF_DIR=/root/testdata/sf0.01
+# to replicate the external driver's exact configuration
+SF_DIR = os.environ.get("WTQ_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
