@@ -65,3 +65,53 @@ def test_approx_count_distinct_tolerance(spark):
         F.countDistinct("l_partkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_salted_join_equals_plain_join(spark):
+    from wtq.operators.skew import salted_join
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey").orderBy("o_orderkey").collect()
+    salted = salted_join(o, c, "o_custkey", salt=4).orderBy("o_orderkey").collect()
+    assert plain == salted
+
+
+def test_bucketed_join_avoids_exchange(spark, tmp_path):
+    """Co-located join via bucketing: both sides bucketed by the join
+    key → SortMergeJoin with NO Exchange (the 100 TB co-location
+    strategy replacing the reference's btree join indexes,
+    SURVEY.md §4)."""
+    from wtq.plans.audit import plan_string
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # (warehouse dir is a static conf — uses ./spark-warehouse, gitignored;
+    # stale dirs survive a fresh metastore, so remove them explicitly)
+    import shutil
+
+    for name, df, key in (("b_orders", o, "o_orderkey"), ("b_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    # at test scale the small side would be broadcast; disable to expose
+    # the bucketed sort-merge join that a 100 TB fact⋈fact would use
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderstatus").count()
+        plan = plan_string(j, mode="simple")
+        assert "SortMergeJoin" in plan
+        # the join itself needs no shuffle; only the final agg exchanges
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -324,3 +324,60 @@ def sql_simhash(table: str, id_col: str, text_col: str) -> str:
     SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
     FROM votes GROUP BY doc
     """
+
+
+HAMMING_MAX = 22
+SIMHASH_BAND_BITS = 15
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding: candidates share one
+    15-bit chunk (equi-join — never a cross join), then exact Hamming
+    distance via bit_count(xor).  Canonical doc1 < doc2."""
+    sig = simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("doc"), F.col("simhash")
+    )
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.expr(f"(shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1})").alias("chunk"),
+                )
+                for j in range(SIMHASH_BANDS)
+            ])
+        ).alias("bc"),
+    ).select("doc", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    o = chunks.select(
+        F.col("doc").alias("doc2"), F.col("simhash").alias("sim2"), "band", "chunk"
+    )
+    return (
+        chunks.join(o, ["band", "chunk"])
+        .filter(F.col("doc") < F.col("doc2"))
+        .select(
+            F.col("doc").alias("doc1"),
+            "doc2",
+            F.expr("bit_count(simhash ^ sim2)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def sql_simhash_near_pairs(table: str, id_col: str, text_col: str) -> str:
+    sim = sql_simhash(table, id_col, text_col)
+    return f"""
+    WITH sig AS ({sim}),
+    chunks AS (
+      SELECT doc, simhash, j AS band,
+             (simhash >> (j * {SIMHASH_BAND_BITS})) & {2**SIMHASH_BAND_BITS - 1} AS chunk
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS j)
+    )
+    SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b USING (band, chunk)
+    WHERE a.doc < b.doc AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """

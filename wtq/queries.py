@@ -804,6 +804,12 @@ GROUP BY key
 """
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """Banded Hamming join over SimHash signatures: candidates share a
+    15-bit chunk (equi-join), exact distance via bit_count(xor)."""
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload plumbing: mapInPandas feature extraction over an
     opaque blob column (decode stubbed — wtq/operators/multimodal.py)."""
@@ -867,6 +873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_keys": q_props_keys,
     "normalize_parts": q_normalize_parts,
     "intersect_except": q_intersect_except,
+    "simhash_near_pairs": q_simhash_near_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -908,6 +915,7 @@ ORACLE_SQL: dict[str, str] = {
     "props_keys": SQL_PROPS_KEYS,
     "normalize_parts": SQL_NORMALIZE_PARTS,
     "intersect_except": SQL_INTERSECT_EXCEPT,
+    "simhash_near_pairs": D.sql_simhash_near_pairs("documents", "doc_id", "text"),
 }
 
 # late imports to keep module import light
