@@ -147,3 +147,99 @@ def sql_lsh_top1(table: str, n_queries: int = 5) -> str:
     )
     SELECT q_id, n_id, round(cos, 5) AS cos FROM ranked WHERE rn = 1
     """
+
+
+COSINE_DUP_MIN = 0.8
+IVF_CELLS = 8
+
+
+def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-bucketed candidate
+    join (never a cross join), exact cosine filter, canonical id1<id2."""
+    e = emb.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"), srp_bucket(F.col(vec_col)).alias("bucket")
+    )
+    o = e.select(F.col("doc").alias("doc2"), F.col("v").alias("v2"), "bucket")
+    return (
+        e.join(o, "bucket")
+        .filter(F.col("doc") < F.col("doc2"))
+        .withColumn("cos", cosine(F.col("v"), F.col("v2")))
+        .filter(F.col("cos") >= COSINE_DUP_MIN)
+        .select(F.col("doc").alias("doc1"), "doc2", F.round("cos", 5).alias("cos"))
+    )
+
+
+def sql_embedding_dup_pairs(table: str) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id AS doc, embedding, {_sql_bucket('embedding')} AS bucket FROM {table})
+    SELECT a.doc AS doc1, b.doc AS doc2,
+           round({_sql_cos('a.embedding', 'b.embedding')}, 5) AS cos
+    FROM e a JOIN e b USING (bucket)
+    WHERE a.doc < b.doc AND {_sql_cos('a.embedding', 'b.embedding')} >= {COSINE_DUP_MIN}
+    """
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = the first IVF_CELLS vectors as
+    centroids; every vector is assigned to its nearest centroid (argmax
+    cosine, tie-break lowest centroid id); queries probe only their own
+    cell.  Assignment is a broadcast join against the tiny centroid
+    set; the search is an equi-join on cell id — the J9
+    candidate-generation pattern with a learned-ish coarse key."""
+    cents = emb.filter(F.col(id_col) < IVF_CELLS).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = (
+        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+        .join(F.broadcast(cents))
+        .withColumn("c_cos", cosine(F.col("n_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("n_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+    cells = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_id", "n_vec", F.col("c_id").alias("cell"))
+    )
+    q = queries.select(F.col(id_col).alias("q_id")).join(
+        cells.select(F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec"), "cell"), "q_id"
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 5).alias("cos"), F.col("rn").alias("rank"))
+    )
+
+
+def sql_ivf_topk(table: str, n_queries: int = 5, k: int = 3) -> str:
+    return f"""
+    WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM {table} WHERE vec_id < {IVF_CELLS}),
+    assigned AS (
+      SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.c_id,
+             {_sql_cos('e.embedding', 'c.c_vec')} AS c_cos
+      FROM {table} e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT n_id, n_vec, c_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_cos DESC, c_id) AS rn
+        FROM assigned
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT n_id AS q_id, n_vec AS q_vec, cell FROM cells WHERE n_id < {n_queries}),
+    scored AS (
+      SELECT q.q_id, c.n_id, {_sql_cos('q.q_vec', 'c.n_vec')} AS cos
+      FROM cells c JOIN q USING (cell)
+      WHERE q.q_id <> c.n_id
+    )
+    SELECT q_id, n_id, round(cos, 5) AS cos, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -804,6 +804,19 @@ GROUP BY key
 """
 
 
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: SRP-bucketed candidates + exact
+    cosine threshold."""
+    return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse-quantizer cell assignment (broadcast) +
+    within-cell top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5))
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """Banded Hamming join over SimHash signatures: candidates share a
     15-bit chunk (equi-join), exact distance via bit_count(xor)."""
@@ -874,6 +887,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_parts": q_normalize_parts,
     "intersect_except": q_intersect_except,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -916,6 +931,8 @@ ORACLE_SQL: dict[str, str] = {
     "normalize_parts": SQL_NORMALIZE_PARTS,
     "intersect_except": SQL_INTERSECT_EXCEPT,
     "simhash_near_pairs": D.sql_simhash_near_pairs("documents", "doc_id", "text"),
+    "embedding_dup_pairs": S.sql_embedding_dup_pairs("embeddings"),
+    "ann_ivf_topk": S.sql_ivf_topk("embeddings"),
 }
 
 # late imports to keep module import light
