@@ -85,12 +85,39 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _md5_60(s: str) -> int:
+    """int(md5(s).hexdigest()[:15], 16) — the first 60 bits of md5 —
+    via the digest bytes directly (~2× faster than hex parsing;
+    asserted equal in tests)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 4
+
+
+# Cross-batch memo of shingle→hash.  Web shingles repeat heavily
+# (boilerplate, quotes, templates); bounding the dict keeps executor
+# memory flat on adversarial input.
+_HASH_MEMO: dict[str, int] = {}
+_HASH_MEMO_MAX = 1 << 20
+
+
+def _shingle_hashes(shingles) -> "list[int]":
+    memo = _HASH_MEMO
+    if len(memo) > _HASH_MEMO_MAX:
+        memo.clear()
+    out = []
+    for x in shingles:
+        h = memo.get(x)
+        if h is None:
+            h = memo[x] = _md5_60(x) % MINHASH_P
+        out.append(h)
+    return out
+
+
 def _sig_batch(texts) -> list[list[int]]:
     """Vectorized minhash core (numpy): identical arithmetic to the SQL
     oracle — md5-hex→int60 mod P, then min over (a·h+b) mod P.
     a·h < 2^62 so int64 never overflows."""
-    import hashlib
-
     import numpy as np
 
     A = np.asarray(PERM_A, dtype=np.int64)[:, None]
@@ -105,11 +132,7 @@ def _sig_batch(texts) -> list[list[int]]:
         shingles = {
             " ".join(words[i : i + SHINGLE_K]) for i in range(len(words) - SHINGLE_K + 1)
         }
-        hs = np.fromiter(
-            (int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P for x in shingles),
-            dtype=np.int64,
-            count=len(shingles),
-        )
+        hs = np.array(_shingle_hashes(shingles), dtype=np.int64)
         out.append(((A * hs + B) % MINHASH_P).min(axis=1).tolist())
     return out
 
@@ -182,14 +205,33 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return pairs
 
 
+NGRAM_DF_CAP = 50  # shingles in more docs than this are boilerplate
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, top_n: int = 20) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing ≥1 shingle — inverted
     index join, never a cross join. Returns top_n pairs by similarity
-    (deterministic tie-break doc1, doc2)."""
-    sh = df.select(
+    (deterministic tie-break doc1, doc2).
+
+    Document-frequency cutoff: shingles appearing in > NGRAM_DF_CAP
+    docs (navigation chrome, legal footers, quoted templates) are
+    dropped BEFORE the self-join — a posting list of length d yields
+    d·(d-1)/2 join rows, so one boilerplate shingle across the corpus
+    is a quadratic blow-up; the cap bounds every posting list.  Both
+    set sizes and intersections are computed on the capped shingle
+    set, so the Jaccard stays a true set similarity (over informative
+    shingles) and the oracle mirrors it exactly."""
+    raw = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles_arr(F.col(text_col)))).alias("shingle"),
     )
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -210,19 +252,53 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, top_n: int = 
     )
 
 
+def _simhash_batch(texts) -> list[int]:
+    """Vectorized SimHash core (numpy), bit-identical to sql_simhash:
+    features are k-word shingles (multiplicity-weighted), feature hash
+    is the FULL 60-bit md5 prefix — NOT reduced mod P.  (The mod-P
+    reduction minhash needs would zero bits 31-59 and collapse the top
+    two LSH bands to constants, degenerating banding to all-pairs —
+    measured on the sf0.01 corpus in round 1.)  Docs with < k words get
+    signature 0."""
+    import numpy as np
+
+    J = np.arange(SIMHASH_BITS, dtype=np.int64)
+    out = []
+    for t in texts:
+        words = [w for w in (t or "").split(" ") if w]
+        if len(words) < SHINGLE_K:
+            out.append(0)
+            continue
+        counts: dict[str, int] = {}
+        for i in range(len(words) - SHINGLE_K + 1):
+            s = " ".join(words[i : i + SHINGLE_K])
+            counts[s] = counts.get(s, 0) + 1
+        hs = np.fromiter((_md5_60(s) for s in counts), dtype=np.int64, count=len(counts))
+        cnt = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        bits = (hs[None, :] >> J[:, None]) & 1
+        votes = ((bits * 2 - 1) * cnt[None, :]).sum(axis=1)
+        out.append(int(((votes > 0).astype(np.int64) << J).sum()))
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(_simhash_batch(texts))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """60-bit frequency-weighted SimHash per document."""
-    tok = df.select(
-        F.col(id_col), F.explode(words_arr(F.col(text_col))).alias("tok")
-    ).withColumn("h", token_hash(F.col("tok")))
-    bits = tok.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"))
-    # shiftright/shiftleft with a Column shift amount need expr() in PySpark
-    votes = bits.groupBy(id_col, "j").agg(
-        F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("v")
+    """60-bit multiplicity-weighted shingle SimHash per document.
+
+    One Arrow-batched numpy pass — a narrow map, no shuffle at all.
+    The equivalent relational form (explode shingles × explode 60 bit
+    positions → two wide aggregations) shuffles 60×|corpus shingles|
+    rows and was retired from the execution path in round 2; it
+    survives verbatim as the DuckDB oracle (sql_simhash), which checks
+    this implementation bit-for-bit."""
+    base = df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism * 4
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).alias("simhash")
-    )
+    return base.select(F.col(id_col), _simhash_udf(F.col(text_col)).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -288,9 +364,13 @@ def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str) -> str:
 
 def sql_ngram_jaccard_pairs(table: str, id_col: str, text_col: str, top_n: int = 20) -> str:
     return f"""
-    WITH sh AS (
+    WITH raw AS (
       SELECT {id_col} AS doc, unnest(list_distinct({_sql_shingles(text_col)})) AS shingle
       FROM {table}
+    ),
+    sh AS (
+      SELECT doc, shingle FROM raw
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {NGRAM_DF_CAP}
     ),
     sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
     inter AS (
@@ -307,12 +387,20 @@ def sql_ngram_jaccard_pairs(table: str, id_col: str, text_col: str, top_n: int =
     """
 
 
+def sql_token_hash60(expr: str) -> str:
+    """Full 60-bit md5 prefix — the simhash feature hash (no mod-P)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def sql_simhash(table: str, id_col: str, text_col: str) -> str:
+    # CAST(sum(...) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which
+    # reaches the comparison frame as float64 and hash-mismatches the
+    # Spark bigint (round-1 verdict bug #1).
     return f"""
-    WITH tok AS (
-      SELECT {id_col} AS doc, unnest({_sql_words(text_col)}) AS tok FROM {table}
+    WITH sh AS (
+      SELECT {id_col} AS doc, unnest({_sql_shingles(text_col)}) AS s FROM {table}
     ),
-    hashed AS (SELECT doc, {sql_token_hash('tok')} AS h FROM tok),
+    hashed AS (SELECT doc, {sql_token_hash60('s')} AS h FROM sh),
     bits AS (
       SELECT doc, h, j FROM hashed
       CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
@@ -320,23 +408,40 @@ def sql_simhash(table: str, id_col: str, text_col: str) -> str:
     votes AS (
       SELECT doc, j, sum(((h >> j) & 1) * 2 - 1) AS v
       FROM bits GROUP BY doc, j
+    ),
+    sig AS (
+      SELECT doc, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc
     )
-    SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-    FROM votes GROUP BY doc
+    SELECT t.{id_col} AS doc, coalesce(sig.simhash, 0) AS simhash
+    FROM {table} t LEFT JOIN sig ON sig.doc = t.{id_col}
     """
 
 
-HAMMING_MAX = 22
+# Banding sized to the pigeonhole guarantee: <= HAMMING_MAX differing
+# bits spread over SIMHASH_BANDS disjoint bands leave >= 1 band
+# untouched, so every pair within the threshold shares a band bucket —
+# candidate recall is EXACT, not probabilistic.  (Round 1 shipped
+# HAMMING_MAX=22 with 4 bands, whose guarantee only covers distance 3;
+# on the test corpus every C(n,2) pair passed 22 — quadratic output.)
+HAMMING_MAX = 3
 SIMHASH_BAND_BITS = 15
 SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4
+assert HAMMING_MAX < SIMHASH_BANDS
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Near-duplicate pairs by SimHash banding: candidates share one
     15-bit chunk (equi-join — never a cross join), then exact Hamming
-    distance via bit_count(xor).  Canonical doc1 < doc2."""
-    sig = simhash(df, id_col, text_col).select(
-        F.col(id_col).alias("doc"), F.col("simhash")
+    distance via bit_count(xor).  Canonical doc1 < doc2.
+
+    Recall contract: exact for hamming <= HAMMING_MAX (= SIMHASH_BANDS-1,
+    pigeonhole over disjoint bands)."""
+    sig = (
+        simhash(df, id_col, text_col)
+        .select(F.col(id_col).alias("doc"), F.col("simhash"))
+        # signature 0 = "no shingles"; pairing those is meaningless
+        .filter(F.col("simhash") != 0)
     )
     chunks = sig.select(
         "doc",
@@ -375,6 +480,7 @@ def sql_simhash_near_pairs(table: str, id_col: str, text_col: str) -> str:
       SELECT doc, simhash, j AS band,
              (simhash >> (j * {SIMHASH_BAND_BITS})) & {2**SIMHASH_BAND_BITS - 1} AS chunk
       FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS j)
+      WHERE simhash <> 0
     )
     SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
