@@ -22,11 +22,13 @@ from wtq.rules.scrub import scrub_text
 def oracle_decide(pages: pd.DataFrame) -> pd.DataFrame:
     """One row per url: keep, fired_rules (sorted list), scrubbed text,
     text_sha256, scrub-edit counts."""
-    dedup = (
-        pages.sort_values(["url", "warc_ts", "text"], ascending=[True, False, True])
-        .groupby("url", as_index=False)
-        .first()
-    )
+    # drop_duplicates keeps WHOLE rows; GroupBy.first() would take the
+    # first non-null value per column and could stitch values from
+    # different crawl rows if any column were null — diverging from the
+    # pipeline's row-wise window top-1
+    dedup = pages.sort_values(
+        ["url", "warc_ts", "text"], ascending=[True, False, True]
+    ).drop_duplicates("url", keep="first")
     rows = []
     for r in dedup.itertuples(index=False):
         sr = scrub_text(r.text)

@@ -67,18 +67,115 @@ def test_approx_count_distinct_tolerance(spark):
     assert abs(row.approx - row.exact) / row.exact < 0.05
 
 
-def test_salted_join_equals_plain_join(spark):
+import pytest
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_equals_plain_join(spark, how):
+    """Per-type equivalence for every SUPPORTED join type — including
+    unmatched rows on both sides (fact keys missing from dim and dim
+    keys missing from fact)."""
     from wtq.operators.skew import salted_join
 
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
-        "c_custkey", "c_mktsegment"
-    ).withColumnRenamed("c_custkey", "o_custkey")
-    plain = o.join(c, "o_custkey").orderBy("o_orderkey").collect()
-    salted = salted_join(o, c, "o_custkey", salt=4).orderBy("o_orderkey").collect()
+    c = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+        # drop a third of the dim so fact rows go unmatched (exercises
+        # left/anti paths); dim keys with no orders already exist
+        .filter("o_custkey % 3 != 0")
+    )
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    plain = sorted(o.join(c, "o_custkey", how).collect(), key=key)
+    salted = sorted(salted_join(o, c, "o_custkey", salt=4, how=how).collect(), key=key)
     assert plain == salted
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    from wtq.operators.skew import salted_join
+
+    o = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(o, o, "k", how="right")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(o, o, "k", how="full")
+
+
+def test_ngram_df_cap_bounds_boilerplate_blowup(spark):
+    """One boilerplate shingle shared by all docs must NOT produce a
+    quadratic inverted-index join: with the df cap the hot posting list
+    is dropped before the self-join; pairs come only from real overlap."""
+    import pandas as pd
+
+    from wtq.operators.dedup import NGRAM_DF_CAP, ngram_jaccard_pairs
+
+    n = NGRAM_DF_CAP * 4  # 4x over the cap
+    boiler = "all rights reserved worldwide"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            # unique content per doc + the same boilerplate tail
+            "text": [f"alpha{i} beta{i} gamma{i} delta{i} {boiler}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", top_n=n * n)
+    # without the cap the boilerplate shingles alone join C(n,2) pairs;
+    # with it, no pair shares an informative shingle
+    assert pairs.count() == 0
+
+
+def test_simhash_near_pairs_finds_planted_dups(spark, pages_path, pages_pdf):
+    """The generator plants true near-dup companion pages (url,
+    url + '-dup').  The banded SimHash join must recover them, and the
+    total output must stay O(n) — not the C(n,2) degeneracy of
+    round 1."""
+    from wtq.operators.dedup import simhash_near_pairs
+
+    pages = spark.read.parquet(pages_path)
+    n = pages.count()
+    pairs = simhash_near_pairs(pages, "url", "text").collect()
+    found = {(r.doc1, r.doc2) for r in pairs}
+    planted = {u for u in pages_pdf.url if u.endswith("-dup")}
+    assert planted, "generator must plant near-dup companions"
+    recovered = sum(
+        1 for d in planted if (d[: -len("-dup")], d) in found or (d, d[: -len("-dup")]) in found
+    )
+    # one mutated word flips only a few shingles -> hamming <= 3 for
+    # nearly all planted pairs; demand full recall of at least 80%
+    assert recovered / len(planted) >= 0.8, (recovered, len(planted))
+    assert len(pairs) < 0.01 * n * (n - 1) / 2, "near-pair output must be << n^2"
+
+
+def test_md5_60_matches_hex_parse():
+    import hashlib
+
+    from wtq.operators.dedup import _md5_60
+
+    for s in ["", "a", "hello world", "unicode é中文", "x" * 100]:
+        assert _md5_60(s) == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_embedding_planted_pair_pinned(spark):
+    """Each planted clone must surface as a near-dup of its source with
+    cosine ~0.98 (the exact value is oracle-checked; here we pin the
+    pair identity and threshold)."""
+    from wtq.operators.similarity import (
+        PLANT_N,
+        PLANT_OFFSET,
+        embedding_dup_pairs,
+        with_planted_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_dup_pairs(with_planted_dups(emb)).collect()
+    got = {(r.doc1, r.doc2): r.cos for r in rows}
+    for k in range(PLANT_N):
+        assert (k, k + PLANT_OFFSET) in got, f"planted pair {k} missing"
+        assert got[(k, k + PLANT_OFFSET)] > 0.95
 
 
 def test_bucketed_join_avoids_exchange(spark, tmp_path):

@@ -125,13 +125,12 @@ def _gen_text(key: int, lang: str) -> tuple[str, str]:
         other = rng.choice(others)
         return feat, _to_lines(rng, _normal_words(rng, other, n))
     if feat == "near_dup":
-        # deterministic near-duplicate of a synthetic partner doc
-        partner_rng = _rng(key * 31 + 7)
-        base = _to_lines(partner_rng, _normal_words(partner_rng, lang, n))
-        words = base.split(" ")
-        if words:
-            words[len(words) // 2] = "mutated"
-        return feat, " ".join(words)
+        # body is normal text; generate_pages_pdf plants a TRUE
+        # near-duplicate companion page (same text, one word mutated)
+        # at a sibling url — both rows are in the table, so near-dup
+        # detectors have real recall targets (round-1 verdict: the old
+        # "partner" text never existed in the table)
+        return feat, _to_lines(rng, _normal_words(rng, lang, n))
     if feat == "gibberish":
         cons = "bcdfghjklmnpqrstvwxz"
         words = ["".join(rng.choices(cons, k=rng.randint(5, 12))) for _ in range(n)]
@@ -175,10 +174,23 @@ def generate_pages_pdf(sf_dir: str, replicate: int = 1) -> pd.DataFrame:
                 rows.append(
                     (url, ts - timedelta(days=1), b"<html><body>" + stale.encode("utf-8") + b"</body></html>", stale, lang)
                 )
+            if feat == "near_dup":
+                # companion page at a sibling url: same body, ONE word
+                # mutated — a true near-duplicate pair inside the table
+                words = text.split(" ")
+                if words:
+                    words[len(words) // 2] = "mutated"
+                dup = " ".join(words)
+                rows.append(
+                    (url + "-dup", ts + timedelta(hours=1), b"<html><body>" + dup.encode("utf-8") + b"</body></html>", dup, lang)
+                )
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
     # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
     pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).dt.tz_localize(None).astype("datetime64[us]")
     return pdf
+
+
+GEN_VERSION = 2  # bump to invalidate /tmp caches when generation changes
 
 
 def ensure_pages(sf_dir: str, replicate: int = 1, cache_root: str = "/tmp/wtq_pages") -> str:
@@ -186,7 +198,11 @@ def ensure_pages(sf_dir: str, replicate: int = 1, cache_root: str = "/tmp/wtq_pa
     derived from sf_dir.  In production this is an Iceberg table; here
     parquet stands in (no Iceberg runtime jars in the sandbox — see
     wtq/sources/catalog.py)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) + (f"_x{replicate}" if replicate > 1 else "")
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        + (f"_x{replicate}" if replicate > 1 else "")
+        + f"_v{GEN_VERSION}"
+    )
     out = os.path.join(cache_root, tag, "pages.parquet")
     if not os.path.exists(out):
         os.makedirs(os.path.dirname(out), exist_ok=True)

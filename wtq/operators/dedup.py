@@ -424,9 +424,17 @@ def sql_simhash(table: str, id_col: str, text_col: str) -> str:
 # candidate recall is EXACT, not probabilistic.  (Round 1 shipped
 # HAMMING_MAX=22 with 4 bands, whose guarantee only covers distance 3;
 # on the test corpus every C(n,2) pair passed 22 — quadratic output.)
-HAMMING_MAX = 3
-SIMHASH_BAND_BITS = 15
-SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4
+#
+# Parameter tradeoff: one mutated word in a ~150-word page flips 0-10
+# of the 60 bits (measured on the planted companion pages), so the
+# threshold is set to 5 — which forces 6 bands of 10 bits.  Band width
+# must stay >= log2(corpus/bands) for buckets to stay sparse: 10-bit
+# chunks are sparse up to ~10^4 docs per partition of the corpus; for
+# web scale either widen the signature (e.g. 96-bit, 6x16) or prefer
+# minhash-LSH, whose bucket keys don't saturate.
+HAMMING_MAX = 5
+SIMHASH_BAND_BITS = 10
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 6
 assert HAMMING_MAX < SIMHASH_BANDS
 
 

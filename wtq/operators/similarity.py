@@ -151,6 +151,45 @@ def sql_lsh_top1(table: str, n_queries: int = 5) -> str:
 
 COSINE_DUP_MIN = 0.8
 IVF_CELLS = 8
+PLANT_N = 8
+PLANT_OFFSET = 1_000_000
+
+
+def with_planted_dups(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Union the embeddings with deterministic near-duplicate clones.
+
+    The driver's embeddings fixture contains no cosine ≥ 0.8 pair, so
+    the near-dup operator was vacuously green in round 1 (0 rows both
+    sides).  The testdata directory is read-only, so the planting
+    happens at query level: for vec_id < PLANT_N, add a clone at
+    vec_id + PLANT_OFFSET with even dims scaled ×1.2 and odd dims
+    ×0.8 — cosine ≈ 0.98 to its source, and scaling never flips a
+    sign, so the clone lands in the same SRP bucket.  The oracle SQL
+    applies the identical planting (sql_with_planted_dups)."""
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    clones = emb.filter(F.col(id_col) < PLANT_N).select(
+        (F.col(id_col) + PLANT_OFFSET).alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: x.cast("double")
+            * F.when(i % 2 == 0, F.lit(1.2)).otherwise(F.lit(0.8)),
+        ).alias(vec_col),
+    )
+    return base.unionByName(clones)
+
+
+def sql_with_planted_dups(table: str) -> str:
+    return f"""
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM {table}
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET},
+             list_transform(range(1, {_DIM + 1}),
+                            i -> CAST(embedding[i] AS DOUBLE) *
+                                 (CASE WHEN (i - 1) % 2 = 0 THEN 1.2 ELSE 0.8 END))
+      FROM {table} WHERE vec_id < {PLANT_N}
+    """
 
 
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -171,7 +210,8 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "
 
 def sql_embedding_dup_pairs(table: str) -> str:
     return f"""
-    WITH e AS (SELECT vec_id AS doc, embedding, {_sql_bucket('embedding')} AS bucket FROM {table})
+    WITH planted AS ({sql_with_planted_dups(table)}),
+    e AS (SELECT vec_id AS doc, embedding, {_sql_bucket('embedding')} AS bucket FROM planted)
     SELECT a.doc AS doc1, b.doc AS doc2,
            round({_sql_cos('a.embedding', 'b.embedding')}, 5) AS cos
     FROM e a JOIN e b USING (bucket)

@@ -66,9 +66,10 @@ def score_udf(texts: pd.Series) -> pd.DataFrame:
     than as JVM expressions: the text is already in Python for the
     regex scrub, so an O(words) dict-lookup pass is ~100× cheaper than
     re-evaluating interpreted higher-order expressions per output
-    column (measured: 176 → >10k docs/sec).  The expression-based
-    implementations in wtq.rules.heuristics remain the SQL-differential
-    reference and are cross-checked in tests."""
+    column (measured: 176 → >10k docs/sec).  The same py_stats feeds
+    the independent pandas oracle (oracle/oracle.py), which re-derives
+    keep/drop decisions outside Spark; the rule THRESHOLDS stay
+    JVM-side expressions (wtq.rules.heuristics.fired_rules_expr)."""
     rows = []
     for t in texts:
         sr = scrub_text(t)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from wtq.operators import dedup as D
 from wtq.operators import similarity as S
+from wtq.operators import spatial as G
 from wtq.operators import text as X
 from wtq.rules import registry as R
 from wtq.rules.lexicon import STOPWORDS
@@ -809,8 +810,10 @@ GROUP BY key
 
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup: SRP-bucketed candidates + exact
-    cosine threshold."""
-    return S.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"))
+    cosine threshold.  Runs over the fixture augmented with planted
+    clones (the raw fixture has no cosine ≥ 0.8 pair, which made the
+    round-1 row vacuous); the oracle plants identically."""
+    return S.embedding_dup_pairs(S.with_planted_dups(_t(spark, sf_dir, "embeddings")))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -824,6 +827,17 @@ def q_simhash_near_pairs(spark, sf_dir):
     """Banded Hamming join over SimHash signatures: candidates share a
     15-bit chunk (equi-join), exact distance via bit_count(xor)."""
     return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_spatial_radius_join(spark, sf_dir):
+    """Spatial-predicate join (st_dwithin/st_intersects analog,
+    proccess_data.sql:148-172, KNN `<->` :424-436): grid-cell bucketed
+    candidate equi-join + exact distance filter.  The oracle is the
+    NAIVE quadratic distance join, so the differential gate proves the
+    grid join's recall is exact — not merely mirrored."""
+    a = G.synth_points(_t(spark, sf_dir, "customer"), "c_custkey", 37, 91)
+    b = G.synth_points(_t(spark, sf_dir, "supplier"), "s_suppkey", 53, 17)
+    return G.grid_radius_join(a, b)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -892,6 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "spatial_radius_join": q_spatial_radius_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -936,6 +951,9 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_near_pairs": D.sql_simhash_near_pairs("documents", "doc_id", "text"),
     "embedding_dup_pairs": S.sql_embedding_dup_pairs("embeddings"),
     "ann_ivf_topk": S.sql_ivf_topk("embeddings"),
+    "spatial_radius_join": G.sql_grid_radius_join(
+        "customer", "c_custkey", 37, 91, "supplier", "s_suppkey", 53, 17
+    ),
 }
 
 # late imports to keep module import light

@@ -1,19 +1,24 @@
 """Gopher/C4-style heuristic quality rules.
 
-Spark side: pure ``pyspark.sql.functions`` expression columns — JVM
-whole-stage-codegen, zero Python in the hot path.  This is the analog
-of the reference's single-pass CASE-ladder evaluation of all tagging
-rules (SURVEY.md §2.7 U3 note: evaluate every rule per record in one
-scan instead of 13 unioned scans, semantically equal to
-proccess_data.sql:505-737 + the :734-736 rollup).
+Spark side: ``fired_rules_expr`` — a pure ``pyspark.sql.functions``
+expression evaluating every rule threshold in ONE pass per record
+(JVM whole-stage-codegen).  This is the analog of the reference's
+CASE-ladder tagging (SURVEY.md §2.7 U3 note: evaluate every rule per
+record in one scan instead of 13 unioned scans, semantically equal to
+proccess_data.sql:505-737 + the :734-736 rollup).  The stat INPUTS to
+the thresholds come from the pipeline's single Arrow score pass
+(wtq/pipeline.py), which calls ``py_stats`` below — the text is
+already in Python for the regex scrub, so the O(words) dict pass is
+far cheaper than re-evaluating interpreted higher-order expressions
+per output column (measured in round 1: 176 → >10k docs/sec).
 
-Oracle side: ``py_stats`` — an independent pure-Python implementation
-of the same definitions, used by the differential oracle (SURVEY.md
-§5.2).  Keep the two in lockstep; the contract for every stat is
-documented once here.
+Oracle side: the differential oracle (oracle/oracle.py) calls the SAME
+``py_stats`` while re-deriving keep/drop decisions independently of
+the Spark plan.  The contract for every stat is documented once here.
 
 Definitions (on the SCRUBBED text):
-  words      = non-empty substrings after splitting on ASCII whitespace
+  words      = non-empty substrings after splitting on whitespace
+               (Python ``str.split()`` semantics, incl. Unicode spaces)
   lines      = non-empty substrings after splitting on "\n"
   mean_word_len   = Σ len(word) / n_words          (0.0 if no words)
   symbol_ratio    = count(chars ∈ SYMBOLS) / max(n_words, 1)
@@ -34,50 +39,6 @@ from pyspark.sql import functions as F
 
 from wtq.rules import registry as R
 from wtq.rules.lexicon import STOPWORDS
-
-def _stop_arr() -> Column:
-    # built lazily — creating Columns requires an active SparkContext
-    return F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
-
-
-def words_col(text: Column) -> Column:
-    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda w: w != "")
-
-
-def lines_col(text: Column) -> Column:
-    return F.filter(F.split(F.coalesce(text, F.lit("")), "\n"), lambda l: l != "")
-
-
-def stats_columns(text: Column) -> dict[str, Column]:
-    """All expression-computable stats as named Columns."""
-    words = words_col(text)
-    lines = lines_col(text)
-    n_words = F.size(words)
-    n_lines = F.size(lines)
-    nw = F.greatest(n_words, F.lit(1)).cast("double")
-    nl = F.greatest(n_lines, F.lit(1)).cast("double")
-    total_word_chars = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
-    symbol_count = F.length(F.coalesce(text, F.lit(""))) - F.length(
-        F.translate(F.coalesce(text, F.lit("")), R.SYMBOLS, "")
-    )
-    stop_count = F.size(F.filter(words, lambda w: F.array_contains(_stop_arr(), F.lower(w))))
-    bullet_count = F.size(
-        F.filter(
-            lines,
-            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
-        )
-    )
-    ellipsis_count = F.size(F.filter(lines, lambda l: l.endswith("...")))
-    return {
-        "n_words": n_words,
-        "n_lines": n_lines,
-        "mean_word_len": F.when(n_words > 0, total_word_chars / n_words.cast("double")).otherwise(F.lit(0.0)),
-        "symbol_ratio": symbol_count.cast("double") / nw,
-        "stopword_frac": stop_count.cast("double") / nw,
-        "bullet_frac": bullet_count.cast("double") / nl,
-        "ellipsis_frac": ellipsis_count.cast("double") / nl,
-    }
-
 
 def fired_rules_expr(
     stats: dict[str, Column],

@@ -12,15 +12,11 @@ operator (per-user running counters) via ``applyInPandasWithState``.
 
 from __future__ import annotations
 
-import itertools
-
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
-
-_sink_counter = itertools.count()
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -34,20 +30,48 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def _run_available_now(stream_df: DataFrame, checkpoint: str, mode: str = "complete") -> DataFrame:
-    """Drain the stream with Trigger.AvailableNow into a memory sink
-    and return the result as a (batch) DataFrame."""
-    name = f"wtq_stream_sink_{next(_sink_counter)}"
+def _run_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    mode: str = "complete",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow through a foreachBatch
+    parquet sink and read the result back.
+
+    The round-1 memory sink stored the result table on the driver — a
+    driver-side bottleneck anyone copying the pattern at scale would
+    inherit.  foreachBatch writes are executor-distributed: complete
+    mode overwrites with the latest full result; update mode appends
+    each micro-batch tagged with its batch id, and read-back keeps the
+    last emission per key (`key_cols` required)."""
+    out_dir = checkpoint.rstrip("/") + "_out"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "complete":
+            batch_df.write.mode("overwrite").parquet(out_dir)
+        else:
+            batch_df.withColumn("__batch", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
     q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
+        stream_df.writeStream.foreachBatch(_sink)
         .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    result = stream_df.sparkSession.read.parquet(out_dir)
+    if mode != "complete":
+        if not key_cols:
+            raise ValueError("update-mode read-back needs key_cols to keep the last emission per key")
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__batch").desc())
+        result = (
+            result.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__batch")
+        )
+    return result
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str, checkpoint: str) -> DataFrame:
@@ -115,4 +139,4 @@ def running_user_totals(spark: SparkSession, sf_dir: str, checkpoint: str) -> Da
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_available_now(stateful, checkpoint, mode="update")
+    return _run_available_now(stateful, checkpoint, mode="update", key_cols=["user_id"])
