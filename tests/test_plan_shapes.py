@@ -57,3 +57,23 @@ def test_whole_stage_codegen_in_agg(spark):
     df.collect()  # AQE finalizes the plan only on execution
     # '*(n)' prefixes mark WholeStageCodegen spans in the executed plan
     assert "*(" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spatial_join_is_equi_join_not_cartesian(spark):
+    """The grid-cell spatial join must plan as a hash/sort-merge join
+    on the cell key — never a cartesian or nested-loop product (the
+    100 TB failure mode of a naive st_dwithin)."""
+    df = QUERIES["spatial_radius_join"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_simhash_is_single_arrow_pass(spark):
+    """SimHash signatures are one Arrow-batched map — no aggregation,
+    no exchange beyond the deliberate input rebalance."""
+    df = QUERIES["simhash"](spark, SF_DIR)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
