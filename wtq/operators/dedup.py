@@ -159,9 +159,11 @@ def minhash_signatures(
     shingle get sentinel MINHASH_P (real minvals are always < P).
     """
     # rebalance: signature compute is the heavy narrow stage, and a
-    # single giant input split would serialize it
+    # single giant input split would serialize it.  Exactly one split
+    # per core — over-splitting (4× was measured) doubles wall time at
+    # this batch size from per-task Arrow/scheduling overhead.
     base = df.select(F.col(id_col), F.col(text_col)).repartition(
-        num_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
     return base.select(F.col(id_col), _sig_udf(F.col(text_col)).alias("sig"))
 
@@ -195,9 +197,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     buckets = sig.select(
         F.col(id_col).alias("doc"), F.explode(band_strs).alias("bucket")
     )
-    b2 = buckets.select(F.col("doc").alias("doc2"), F.col("bucket"))
+    # Within-bucket pairs via ONE aggregation + double explode instead
+    # of a bucket self-join: a self-join duplicates the whole upstream
+    # subtree, so the signature UDF would run TWICE (measured 2× the
+    # operator's wall time).  This is the Spark analog of the
+    # reference's materialize-the-CTE-before-self-join fix
+    # (proccess_data.sql:450-467).  Bucket membership lists are bounded
+    # by expected bucket size (uniform hash keys), so the collect_list
+    # is small; pair volume within a bucket is identical to the join's.
+    grouped = (
+        buckets.groupBy("bucket")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     pairs = (
-        buckets.join(b2, "bucket")
+        grouped.select(F.explode("docs").alias("doc"), F.col("docs"))
+        .select("doc", F.explode("docs").alias("doc2"))
         .filter(F.col("doc") < F.col("doc2"))
         .groupBy(F.col("doc").alias("doc1"), F.col("doc2"))
         .agg(F.count("*").alias("n_shared_bands"))
@@ -296,7 +311,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     survives verbatim as the DuckDB oracle (sql_simhash), which checks
     this implementation bit-for-bit."""
     base = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism * 4
+        df.sparkSession.sparkContext.defaultParallelism
     )
     return base.select(F.col(id_col), _simhash_udf(F.col(text_col)).alias("simhash"))
 
@@ -464,16 +479,22 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ])
         ).alias("bc"),
     ).select("doc", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    o = chunks.select(
-        F.col("doc").alias("doc2"), F.col("simhash").alias("sim2"), "band", "chunk"
+    # within-bucket pairs via one aggregation + double explode — a
+    # bucket self-join would re-run the signature UDF subtree twice
+    # (see minhash_lsh_pairs for the rationale and reference citation)
+    grouped = (
+        chunks.groupBy("band", "chunk")
+        .agg(F.collect_list(F.struct("doc", "simhash")).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
     return (
-        chunks.join(o, ["band", "chunk"])
-        .filter(F.col("doc") < F.col("doc2"))
+        grouped.select(F.explode("ms").alias("a"), F.col("ms"))
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
-            F.col("doc").alias("doc1"),
-            "doc2",
-            F.expr("bit_count(simhash ^ sim2)").alias("hamming"),
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
