@@ -71,25 +71,59 @@ def run_at(cpus: int, sf_dir: str, replicate: int) -> dict:
     return json.loads(p.stdout.strip().splitlines()[-1])
 
 
+def _burn_worker(args) -> int:
+    deadline, = args
+    x = 0
+    while time.time() < deadline:
+        x += 1
+    return x
+
+
+def hardware_ceiling(procs: int, seconds: float = 6.0) -> float:
+    """Raw multiprocessing increments/sec at `procs` workers — measures
+    what the VM's cores actually deliver, Spark excluded."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        deadline = time.time() + seconds
+        total = sum(pool.map(_burn_worker, [(deadline,)] * procs))
+    return total / seconds
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # big enough that compute dominates fixed costs (~85k docs at the
     # default replicate; at 40k the job is overhead-bound)
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    # N=2 vs 4N=8: this VM advertises 32 cores but a raw
-    # multiprocessing burn measures only ~21x parallel capacity
-    # (SMT + hypervisor steal), so 8->32 cannot demonstrate CPU
-    # scaling even for perfectly parallel work. 2->8 sits inside the
-    # regime where the hardware really has 4x the capacity.
-    n = int(os.environ.get("WTQ_SCALE_N", "2"))
-    rn = run_at(n, sf_dir, replicate)
-    print(f"local[{n}]:", rn, file=sys.stderr)
-    r4n = run_at(n * 4, sf_dir, replicate)
-    print(f"local[{n*4}]:", r4n, file=sys.stderr)
+
+    # Hardware ceiling first (measured, not asserted): the VM's 32
+    # advertised cores deliver well under 32x of one core's throughput
+    # (SMT + hypervisor steal + clock scaling), which bounds any 8->32
+    # reading even for embarrassingly parallel work.
+    burn = {p: hardware_ceiling(p) for p in (1, 2, 8, 32)}
+    ceil_2_8 = (burn[8] / burn[2]) / 4.0
+    ceil_8_32 = (burn[32] / burn[8]) / 4.0
+    print(f"hardware ceiling: 2->8 {ceil_2_8:.2f}, 8->32 {ceil_8_32:.2f}", file=sys.stderr)
+
+    # Both requested rows, measured in the same session: the original
+    # 8->32 criterion AND the 2->8 row where the hardware genuinely has
+    # 4x capacity.  local[8] serves as 4N of the first pair and N of
+    # the second.
+    r2 = run_at(2, sf_dir, replicate)
+    print("local[2]:", r2, file=sys.stderr)
+    r8 = run_at(8, sf_dir, replicate)
+    print("local[8]:", r8, file=sys.stderr)
     r32 = run_at(32, sf_dir, replicate)
     print("local[32]:", r32, file=sys.stderr)
-    eff = (r4n["docs_per_sec"] / rn["docs_per_sec"]) / 4.0
-    result = {"n": rn, "n4": r4n, "n32": r32, "scaling_efficiency": round(eff, 3)}
+    eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4.0
+    eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    result = {
+        "n2": r2, "n8": r8, "n32": r32,
+        "efficiency_2_8": round(eff_2_8, 3),
+        "efficiency_8_32": round(eff_8_32, 3),
+        "hw_ceiling_2_8": round(ceil_2_8, 3),
+        "hw_ceiling_8_32": round(ceil_8_32, 3),
+    }
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -98,28 +132,32 @@ def main() -> None:
             f"""# BENCH/BASELINE — measured numbers
 
 Input: synthetic pages derived from `{sf_dir}` (replicate={replicate},
-{rn['n_docs']} docs after re-crawl dedup). Same job, same input, two
+{r2['n_docs']} docs after re-crawl dedup). Same job, same input, three
 parallelism levels, fresh JVM each, best-of-3 (noisy-neighbor VM).
 Sink = decisions table (the north metric is FILTER throughput; the
 full scrub/langid/perplexity/stats compute runs either way).
 
 | parallelism | wall sec | docs/sec |
 |---|---|---|
-| local[{n}]  (N)  | {rn['sec']} | {rn['docs_per_sec']} |
-| local[{n*4}] (4N) | {r4n['sec']} | {r4n['docs_per_sec']} |
-| local[32] (max, context) | {r32['sec']} | {r32['docs_per_sec']} |
+| local[2]  | {r2['sec']} | {r2['docs_per_sec']} |
+| local[8]  | {r8['sec']} | {r8['docs_per_sec']} |
+| local[32] | {r32['sec']} | {r32['docs_per_sec']} |
 
-**Scaling efficiency (N→4N)** = ({r4n['docs_per_sec']} / {rn['docs_per_sec']}) / 4
-= **{eff:.3f}** (target ≥ 0.8).
+Both N→4N readings, against the measured hardware ceiling (a raw
+multiprocessing burn with no Spark, same session — the most any
+perfectly parallel job could show on these virtual cores):
 
-Why N={n}: this VM advertises 32 cores, but a raw multiprocessing burn
-(no Spark) measures only ~21x parallel capacity at 32 processes
-(SMT + hypervisor steal; 8 procs -> ~6.6x). 8->32 therefore cannot
-show 4x even for embarrassingly parallel work; {n}->{n*4} lies inside
-the region where the hardware genuinely has 4x the capacity, which is
-what the N->4N executor criterion is probing (per-executor work is
-constant; no shared-core contention between executors on a real
-cluster).
+| N→4N | measured efficiency | hardware ceiling | efficiency vs ceiling |
+|---|---|---|---|
+| 2→8  | **{eff_2_8:.3f}** | {ceil_2_8:.3f} | {eff_2_8 / ceil_2_8:.3f} |
+| 8→32 | **{eff_8_32:.3f}** | {ceil_8_32:.3f} | {eff_8_32 / ceil_8_32:.3f} |
+
+Target ≥ 0.8 (north rule). The 2→8 row is the honest probe of the
+multi-executor criterion — on a real cluster added executors bring
+their OWN cores, so per-executor capacity is constant; on this VM the
+8→32 step shares SMT siblings and hypervisor-stolen cycles, and the
+burn shows the hardware itself cannot reach 0.8 there.  Both rows are
+reported so the original-criterion number stays visible.
 
 Pipeline measured end-to-end: parquet scan (html pruned) → salted
 murmur3(url) repartition → window re-crawl dedup (reuses the exchange)

@@ -267,6 +267,104 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, top_n: int = 
     )
 
 
+CC_MAX_ITERS = 20
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "doc2") -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: (node, cluster)
+    where cluster = min node id reachable through the pair graph.
+
+    A dedup pipeline keeps one representative per cluster, not per
+    pair — pairs alone under-delete transitive duplicates (A~B, B~C
+    must drop two of three docs).  This is the reference's
+    duplicate-group resolution generalized from equality groups
+    (group by geom having count>1, proccess_data.sql:204-213) to a
+    similarity GRAPH.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in graph-
+    diameter rounds (the standard large-scale CC construction, cf.
+    GraphFrames/Pregel).  Each iteration is two distributed hash
+    joins; the driver only checks a scalar convergence count.
+    localCheckpoint truncates the growing lineage so plan size stays
+    O(1) per round.  Near-dup clusters are small and shallow in
+    practice, so rounds ≪ CC_MAX_ITERS.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            labels.join(edges, labels.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-dup clusters over MinHash-LSH pairs: one row per cluster
+    with its representative (min id), member count, and sorted member
+    list — the keep-one-representative contract of a dedup pass."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_list(F.col("node").cast("string"))), ",").alias("members"),
+        )
+    )
+
+
+def sql_dedup_clusters(table: str, id_col: str, text_col: str) -> str:
+    """Recursive-CTE oracle: transitive closure of the pair graph, then
+    min reachable id per node.  Exponentially dumber than the Spark
+    label propagation — which is the point: an independent derivation."""
+    pairs = sql_minhash_lsh_pairs(table, id_col, text_col)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node)
+    SELECT cluster, count(*) AS n_docs,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY CAST(node AS VARCHAR)) AS members
+    FROM labels GROUP BY cluster
+    """
+
+
 def _simhash_batch(texts) -> list[int]:
     """Vectorized SimHash core (numpy), bit-identical to sql_simhash:
     features are k-word shingles (multiplicity-weighted), feature hash

@@ -829,6 +829,86 @@ def q_simhash_near_pairs(spark, sf_dir):
     return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution (pairs under-delete transitive
+    duplicates): connected components over the MinHash-LSH pair graph
+    via iterative min-label propagation; oracle is a recursive-CTE
+    transitive closure — an independent derivation."""
+    return D.dedup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-data subsetting):
+    top-5 docs per lang ordered by md5(doc_id) — a content-hash
+    pseudo-random order both engines reproduce exactly, unlike
+    rand()/SAMPLE which never cross-engine-match."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, CAST(rn AS INT) AS rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document (top 50 docs for output size):
+    explode → per-doc TF → per-term DF → window top-k.  Classic
+    corpus-statistics join shape: the doc-frequency side is a
+    broadcast-sized aggregate at any corpus size relative to the token
+    stream.  ln() domain kept integral-ratio so both engines emit
+    bit-identical doubles."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.count()  # tiny scalar; at scale: a broadcast subquery
+    df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH d AS (SELECT * FROM documents WHERE doc_id < 50),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM d
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM d),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_spatial_radius_join(spark, sf_dir):
     """Spatial-predicate join (st_dwithin/st_intersects analog,
     proccess_data.sql:148-172, KNN `<->` :424-436): grid-cell bucketed
@@ -907,6 +987,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "spatial_radius_join": q_spatial_radius_join,
+    "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -954,6 +1037,9 @@ ORACLE_SQL: dict[str, str] = {
     "spatial_radius_join": G.sql_grid_radius_join(
         "customer", "c_custkey", 37, 91, "supplier", "s_suppkey", 53, 17
     ),
+    "dedup_clusters": D.sql_dedup_clusters("documents", "doc_id", "text"),
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }
 
 # late imports to keep module import light
