@@ -78,3 +78,30 @@ def test_perplexity_separates_gibberish():
     clean = char_perplexity("the data table query row scan filter join merge sort")
     gib = char_perplexity("xqzwv kjhgfd pqzxw vbnmk qwzxc plmkj")
     assert clean < R.PPL_MAX < gib
+
+
+def test_ppm_roundtrip_and_resize():
+    """Real codec contract: encode → decode is byte-lossless (incl. a
+    header comment), block-mean resize halves dimensions exactly."""
+    import numpy as np
+
+    from wtq.operators.multimodal import (
+        block_mean_resize,
+        decode_ppm,
+        encode_ppm,
+        synth_image,
+    )
+
+    img = synth_image(123)
+    blob = encode_ppm(img)
+    assert np.array_equal(decode_ppm(blob), img)
+    # decoder must skip header comments like a real PPM reader
+    commented = blob.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert np.array_equal(decode_ppm(commented), img)
+    small = block_mean_resize(img)
+    assert small.shape == (8, 8, 3)
+    assert small[0, 0, 0] == img[:2, :2, 0].astype(float).mean()
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM rejected

@@ -928,6 +928,16 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal_features(_t(spark, sf_dir, "documents"))
 
 
+def q_image_features(spark, sf_dir):
+    """REAL image decode path: PPM encode → byte-level decode →
+    block-mean resize → channel stats inside one mapInPandas pass; the
+    oracle re-derives every feature in closed form from the synthetic
+    pixel formula (a decoder bug cannot self-confirm)."""
+    from wtq.operators.multimodal import image_features
+
+    return image_features(_t(spark, sf_dir, "documents"))
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """Structured Streaming (Trigger.AvailableNow) windowed rollup with
     watermark — equals the batch time_bucket rollup on a static input."""
@@ -990,6 +1000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "image_features": q_image_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1047,4 +1058,8 @@ from wtq.operators.multimodal import sql_multimodal_features as _sql_mm  # noqa:
 from wtq.streaming.ingest import SQL_WINDOWED_EVENT_COUNTS as _sql_stream  # noqa: E402
 
 ORACLE_SQL["multimodal_features"] = _sql_mm("documents", "doc_id", "text")
+
+from wtq.operators.multimodal import sql_image_features as _sql_img  # noqa: E402
+
+ORACLE_SQL["image_features"] = _sql_img("documents")
 ORACLE_SQL["stream_windowed_counts"] = _sql_stream
