@@ -948,6 +948,17 @@ def q_stream_windowed_counts(spark, sf_dir):
     return windowed_event_counts(spark, sf_dir, tempfile.mkdtemp(prefix="wtq_stream_ckpt_"))
 
 
+def q_stream_dedup_join_counts(spark, sf_dir):
+    """Streaming dedup (replayed-×2 input, dropDuplicates within a
+    watermark) + stream-static broadcast join + rollup — the batch
+    oracle counts each event once, so a dedup regression doubles n."""
+    import tempfile
+
+    from wtq.streaming.ingest import stream_dedup_join_counts
+
+    return stream_dedup_join_counts(spark, sf_dir, tempfile.mkdtemp(prefix="wtq_sdedup_ckpt_"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -987,6 +998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_top1": q_ann_lsh_top1,
     "multimodal_features": q_multimodal_features,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_dedup_join_counts": q_stream_dedup_join_counts,
     "orders_concat_sorted": q_orders_concat_sorted,
     "cust_supp_nation_matrix": q_cust_supp_nation_matrix,
     "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -1063,3 +1075,7 @@ from wtq.operators.multimodal import sql_image_features as _sql_img  # noqa: E40
 
 ORACLE_SQL["image_features"] = _sql_img("documents")
 ORACLE_SQL["stream_windowed_counts"] = _sql_stream
+
+from wtq.streaming.ingest import SQL_STREAM_DEDUP_JOIN_COUNTS as _sql_sdedup  # noqa: E402
+
+ORACLE_SQL["stream_dedup_join_counts"] = _sql_sdedup

@@ -107,6 +107,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_dedup_join_counts(spark: SparkSession, sf_dir: str, checkpoint: str) -> DataFrame:
+    """Streaming dedup + stream-static join (SURVEY.md §2.9 upgrade
+    surface): the source is replayed ×2 inside the stream (explode) to
+    simulate at-least-once redelivery, `dropDuplicates(event_id)`
+    under a watermark restores exactly-once, then a stream-static
+    broadcast join attaches a tier dim and a windowless rollup counts
+    per tier.  The dedup is load-bearing: without it every count
+    doubles, so the batch oracle (plain per-tier rollup of the
+    original events) catches a dedup regression."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    replayed = src.withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2))))
+    deduped = (
+        replayed.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    tiers = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .withColumn("tier", F.upper(F.substring("event_type", 1, 1)))
+    )
+    joined = deduped.join(F.broadcast(tiers), "event_type")
+    agg = joined.groupBy("tier").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    return _run_available_now(agg, checkpoint)
+
+
+SQL_STREAM_DEDUP_JOIN_COUNTS = """
+SELECT upper(substr(event_type, 1, 1)) AS tier, count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 _STATE_SCHEMA = "user_id long, n long, total double"
 _OUT_SCHEMA = "user_id long, n long, total double"
 
