@@ -95,9 +95,14 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "simhash",
+        "simhash_near_pairs",
+        "dedup_clusters",
         "ann_bruteforce",
         "doc_decisions",
         "top_words",
+        "spatial_radius_join",
+        "tfidf_top_terms",
+        "image_features",
     ]
     q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
     for name in headline:
