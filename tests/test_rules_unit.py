@@ -105,3 +105,44 @@ def test_ppm_roundtrip_and_resize():
 
     with pytest.raises(ValueError):
         decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM rejected
+
+
+def test_wav_roundtrip():
+    """Real RIFF codec contract: encode → decode is lossless, unknown
+    chunks are skipped, malformed input rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from wtq.operators.multimodal import decode_wav, encode_wav, synth_audio
+
+    s = synth_audio(77)
+    blob = encode_wav(s)
+    out, rate = decode_wav(blob)
+    assert rate == 8000 and np.array_equal(out, s)
+    # insert an unknown LIST chunk between fmt and data — decoder must skip it
+    fmt_end = blob.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = blob[:fmt_end] + extra + blob[fmt_end:]
+    out2, _ = decode_wav(patched)
+    assert np.array_equal(out2, s)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFXxxxxWAVE")
+
+
+def test_video_stream_frame_walk():
+    import numpy as np
+
+    from wtq.operators.multimodal import (
+        encode_video,
+        iter_video_frames,
+        synth_video,
+    )
+
+    frames = synth_video(5)
+    blob = encode_video(frames)
+    out = list(iter_video_frames(blob))
+    assert len(out) == len(frames)
+    for a, b in zip(out, frames):
+        assert np.array_equal(a, b)

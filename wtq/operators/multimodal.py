@@ -66,14 +66,13 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def decode_ppm(blob: bytes) -> np.ndarray:
-    """Binary P6 PPM bytes → uint8 (h, w, 3).  A real byte-level
-    decoder: parses the magic + whitespace-separated header fields
-    (comments included), then reinterprets the raster."""
-    if blob[:2] != b"P6":
+def _decode_ppm_at(blob: bytes, offset: int) -> tuple[np.ndarray, int]:
+    """Decode one P6 frame starting at `offset`; returns (raster,
+    offset past the frame) so multi-frame streams can be walked."""
+    if blob[offset : offset + 2] != b"P6":
         raise ValueError("not a binary P6 PPM")
     fields: list[int] = []
-    i = 2
+    i = offset + 2
     while len(fields) < 3:
         while i < len(blob) and blob[i : i + 1].isspace():
             i += 1
@@ -91,7 +90,15 @@ def decode_ppm(blob: bytes) -> np.ndarray:
         raise ValueError("only 8-bit PPM supported")
     i += 1  # single whitespace byte after maxval
     raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=i)
-    return raster.reshape(h, w, 3)
+    return raster.reshape(h, w, 3), i + w * h * 3
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary P6 PPM bytes → uint8 (h, w, 3).  A real byte-level
+    decoder: parses the magic + whitespace-separated header fields
+    (comments included), then reinterprets the raster."""
+    arr, _ = _decode_ppm_at(blob, 0)
+    return arr
 
 
 def block_mean_resize(arr: np.ndarray, factor: int = 2) -> np.ndarray:
@@ -125,6 +132,197 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("small_px0_r", T.DoubleType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Video analog: multi-frame PPM stream + frame sampling
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 8
+FRAME_STEP = 3  # sample frames 0, 3, 6
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def iter_video_frames(blob: bytes):
+    """Walk a concatenated-PPM stream frame by frame (real parsing —
+    each frame's length comes from its own header, not assumed)."""
+    off = 0
+    while off < len(blob):
+        frame, off = _decode_ppm_at(blob, off)
+        yield frame
+
+
+def synth_video(doc_id: int, n_frames: int = VIDEO_FRAMES) -> list[np.ndarray]:
+    return [synth_image(doc_id * n_frames + f) for f in range(n_frames)]
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sampled_mean_r", T.DoubleType()),
+    ]
+)
+
+
+def video_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling over a multi-frame binary stream: decode ALL
+    frame headers (to count), decode every FRAME_STEP-th raster, mean
+    the R channel across sampled frames — the decode-what-you-sample
+    shape of video training-data prep."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                blob = encode_video(synth_video(int(doc_id)))
+                frames = list(iter_video_frames(blob))
+                sampled = frames[::FRAME_STEP]
+                mean_r = float(
+                    np.mean([f[:, :, 0].astype(np.float64).mean() for f in sampled])
+                )
+                rows.append((int(doc_id), len(frames), round(mean_r, 6)))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields])
+
+    return df.select(F.col(id_col)).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+
+
+def sql_video_features(table: str, id_col: str = "doc_id") -> str:
+    """Closed-form oracle: mean of per-frame means over sampled frames
+    f ∈ {0, 3, 6}; all sums integral until the final divisions."""
+    sampled = list(range(0, VIDEO_FRAMES, FRAME_STEP))
+    px = f"(({id_col} * {VIDEO_FRAMES} + f) * 31 + x * 7 + y * 13) % 256"
+    frames = ", ".join(str(f) for f in sampled)
+    return f"""
+    WITH px AS (
+      SELECT {id_col} AS doc_id, {px} AS v
+      FROM {table}
+      CROSS JOIN (SELECT unnest([{frames}]) AS f)
+      CROSS JOIN (SELECT unnest(range(0, {IMG_W})) AS x)
+      CROSS JOIN (SELECT unnest(range(0, {IMG_H})) AS y)
+    )
+    SELECT doc_id, {VIDEO_FRAMES} AS n_frames,
+           round(CAST(sum(v) AS BIGINT) / {len(sampled) * IMG_W * IMG_H}.0, 6) AS sampled_mean_r
+    FROM px GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Real codec: RIFF/PCM16 WAV (pure numpy + struct — no external library)
+# ---------------------------------------------------------------------------
+
+AUDIO_N = 256
+AUDIO_RATE = 8000
+
+
+def encode_wav(samples: np.ndarray, rate: int = AUDIO_RATE) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes."""
+    import struct
+
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes → (int16 samples, sample_rate).  A real
+    chunk-walking decoder: verifies the RIFF/WAVE magic, iterates
+    chunks (skipping unknown ones), reads fmt, then reinterprets the
+    data payload."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, rate, samples = 12, None, None
+    while i + 8 <= len(blob):
+        cid = blob[i : i + 4]
+        (size,) = struct.unpack("<I", blob[i + 4 : i + 8])
+        body = blob[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit mono PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype=np.int16)
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return samples, rate
+
+
+def synth_audio(doc_id: int, n: int = AUDIO_N) -> np.ndarray:
+    """Deterministic test signal: s[i] = (doc_id·7919 + i·2654435761)
+    mod 65536 − 32768 — closed-form for the SQL oracle."""
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 7919 + i * 2654435761) % 65536 - 32768).astype(np.int16)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode → DECODE (real RIFF chunk walk) → featurize in one
+    mapInPandas pass.  RMS is derived from the exact INTEGER sum of
+    squares (order-independent, so both engines agree bit-for-bit
+    before the one double sqrt/divide)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                blob = encode_wav(synth_audio(int(doc_id)))
+                s, rate = decode_wav(blob)
+                v = s.astype(np.int64)
+                sum_sq = int((v * v).sum())
+                zc = int(((v[:-1] * v[1:]) < 0).sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(s),
+                        len(s) * 1000 // rate,
+                        round(float(np.sqrt(sum_sq / float(len(s)))), 6),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select(F.col(id_col)).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def sql_audio_features(table: str, id_col: str = "doc_id") -> str:
+    """Closed-form oracle over the signal formula — integer sums only,
+    then one double sqrt, so no float-order divergence is possible."""
+    v = f"(({id_col} * 7919 + i * 2654435761) % 65536 - 32768)"
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS doc_id, i, {v} AS v
+      FROM {table}
+      CROSS JOIN (SELECT unnest(range(0, {AUDIO_N})) AS i)
+    ),
+    lagged AS (
+      SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s
+    )
+    SELECT doc_id,
+           {AUDIO_N} AS n_samples,
+           {AUDIO_N * 1000 // AUDIO_RATE} AS duration_ms,
+           round(sqrt(CAST(sum(v * v) AS BIGINT) / {AUDIO_N}.0), 6) AS rms,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM lagged GROUP BY doc_id
+    """
 
 
 def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -938,6 +938,24 @@ def q_image_features(spark, sf_dir):
     return image_features(_t(spark, sf_dir, "documents"))
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode path: RIFF/PCM16 WAV encode → chunk-walking
+    decode → RMS/zero-crossing features; closed-form SQL oracle with
+    integer-only sums (no float-order divergence possible)."""
+    from wtq.operators.multimodal import audio_features
+
+    return audio_features(_t(spark, sf_dir, "documents"))
+
+
+def q_video_features(spark, sf_dir):
+    """Video frame-sampling analog: walk a multi-frame PPM stream
+    (frame lengths parsed from each header), decode every 3rd frame,
+    mean the sampled R channel; closed-form oracle."""
+    from wtq.operators.multimodal import video_features
+
+    return video_features(_t(spark, sf_dir, "documents"))
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """Structured Streaming (Trigger.AvailableNow) windowed rollup with
     watermark — equals the batch time_bucket rollup on a static input."""
@@ -1013,6 +1031,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "video_features": q_video_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1071,9 +1091,14 @@ from wtq.streaming.ingest import SQL_WINDOWED_EVENT_COUNTS as _sql_stream  # noq
 
 ORACLE_SQL["multimodal_features"] = _sql_mm("documents", "doc_id", "text")
 
+from wtq.operators.multimodal import sql_audio_features as _sql_aud  # noqa: E402
 from wtq.operators.multimodal import sql_image_features as _sql_img  # noqa: E402
 
+from wtq.operators.multimodal import sql_video_features as _sql_vid  # noqa: E402
+
 ORACLE_SQL["image_features"] = _sql_img("documents")
+ORACLE_SQL["audio_features"] = _sql_aud("documents")
+ORACLE_SQL["video_features"] = _sql_vid("documents")
 ORACLE_SQL["stream_windowed_counts"] = _sql_stream
 
 from wtq.streaming.ingest import SQL_STREAM_DEDUP_JOIN_COUNTS as _sql_sdedup  # noqa: E402
