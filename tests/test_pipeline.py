@@ -100,3 +100,29 @@ def test_differential_at_sf01(spark):
     assert (m.keep_s == m.keep_o).all()
     bad = [u for u, a, b in zip(m.url, m.fired_rules_s, m.fired_rules_o) if list(a) != list(b)]
     assert not bad, bad[:5]
+
+
+def test_langid_l1_rule_quality(spark, pages_path):
+    """Measured precision/recall for the L-1 (language-mismatch) rule
+    on the labeled synthetic distribution: pages of class `wrong_lang`
+    are mislabeled by construction and should fire L-1; normal-ish
+    classes should essentially never fire it.  (fastText-grade
+    real-world accuracy is not measurable offline — this pins the
+    rule's behavior on the distribution we can label.)"""
+    import re
+
+    from wtq.generate import _FEATURE_CLASSES
+    from wtq.pipeline import run_pipeline
+
+    decided = run_pipeline(spark, pages_path, num_partitions=8).decisions.toPandas()
+    def feat_of(url: str) -> str:
+        key = int(re.search(r"/doc/(\d+)", url).group(1))
+        return _FEATURE_CLASSES[key % 17]
+    decided["feat"] = decided.url.map(feat_of)
+    decided["l1"] = decided.fired_rules.map(lambda rs: "L-1" in list(rs))
+    wrong = decided[decided.feat == "wrong_lang"]
+    clean = decided[decided.feat.isin(["normal", "recrawl_dup", "near_dup", "email", "phone", "ip"])]
+    recall = wrong.l1.mean()
+    false_rate = clean.l1.mean()
+    assert recall >= 0.65, f"L-1 recall on planted wrong-lang pages too low: {recall:.2f}"
+    assert false_rate <= 0.05, f"L-1 false-fire rate on clean classes too high: {false_rate:.2f}"

@@ -355,6 +355,46 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_event_value_quantiles(spark, sf_dir):
+    """Exact discrete percentiles (p50/p90/p99) per event_type via
+    deterministic rank selection — percentile_disc semantics, portable
+    across engines (approx sketches never cross-engine-match; exact
+    interpolation differs in FP order).  IMPORTANT: the rank cutoff
+    ceil(p·n) must be computed in DOUBLE on both engines — DuckDB
+    parses 0.9 as DECIMAL by default, which ceils differently from the
+    IEEE product Spark computes."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def pick(p: float, name: str):
+        cutoff = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.round(F.max(F.when(F.col("rn") == cutoff, F.col("value"))), 4).alias(name)
+    return ranked.groupBy("event_type").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")
+    )
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       round(max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN value END), 4) AS p50,
+       round(max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN value END), 4) AS p90,
+       round(max(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT) THEN value END), 4) AS p99
+FROM ranked GROUP BY event_type
+"""
+
+
 def q_order_rule_rollup(spark, sf_dir):
     """U3/U4 + A8: per-record fired-rule rollup, the err_all pattern
     (proccess_data.sql:814-841) on orders."""
@@ -1017,6 +1057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_dedup_join_counts": q_stream_dedup_join_counts,
+    "event_value_quantiles": q_event_value_quantiles,
     "orders_concat_sorted": q_orders_concat_sorted,
     "cust_supp_nation_matrix": q_cust_supp_nation_matrix,
     "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -1083,6 +1124,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": D.sql_dedup_clusters("documents", "doc_id", "text"),
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
 }
 
 # late imports to keep module import light
