@@ -248,11 +248,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, top_n: int = 
     )
     sh = raw.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # posting-list pair generation via ONE aggregation + double explode
+    # (not a self-join, which would evaluate the shingle-explode
+    # subtree twice — see minhash_lsh_pairs); the df-cap above bounds
+    # every posting list, so collect_list stays small
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        postings.select(F.explode("docs").alias("d1"), F.col("docs"))
+        .select("d1", F.explode("docs").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy(F.col("d1").alias("doc1"), F.col("d2").alias("doc2"))
         .agg(F.count("*").alias("inter"))
     )
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
