@@ -77,3 +77,14 @@ def test_simhash_is_single_arrow_pass(spark):
     plan = plan_string(df, mode="simple")
     assert plan.count("ArrowEvalPython") == 1
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_pair_queries_single_arrow_pass(spark):
+    """Signature UDFs must be evaluated exactly once in pair-generation
+    plans. Two past regressions guarded here: a bucket SELF-JOIN
+    duplicates the upstream subtree, and a filter on the UDF column
+    pushes below the repartition and re-runs the whole Arrow pass
+    serially over the unsplit scan."""
+    for name in ("simhash_near_pairs", "dedup_minhash_lsh"):
+        plan = plan_string(QUERIES[name](spark, SF_DIR), mode="simple")
+        assert plan.count("ArrowEvalPython") == 1, f"{name} runs the UDF more than once"

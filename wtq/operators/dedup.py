@@ -172,12 +172,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Candidate near-duplicate pairs via banding: docs sharing ALL row
     minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
     doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244)."""
-    # drop shingle-less docs (sentinel P appears only for those — real
-    # minvals are < P), matching the explode form where they simply
-    # produce no rows
-    sig = minhash_signatures(df, id_col, text_col).filter(
-        F.element_at("sig", 1) != MINHASH_P
-    )
+    # NOTE: do NOT filter on the signature column here — a filter
+    # referencing the UDF output gets pushed below the repartition and
+    # Catalyst materializes a SECOND ArrowEvalPython over the unsplit
+    # scan (measured: the whole signature pass re-ran serially).
+    # Shingle-less docs are dropped at the bucket level instead, where
+    # the Generate node blocks pushdown.
+    sig = minhash_signatures(df, id_col, text_col)
     # band buckets straight from the signature array — still narrow;
     # the ONLY shuffle in the whole operator is the bucket equi-join
     band_strs = F.transform(
@@ -194,9 +195,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ),
     )
+    # sentinel docs (no shingles) carry minvals == P in every slot; real
+    # minvals are always < P, so their buckets are exactly ":P,…,P" —
+    # dropping those buckets removes them from pairing entirely (the
+    # explode-form oracle simply emits no rows for such docs)
+    sentinel_bucket = ":" + ",".join([str(MINHASH_P)] * LSH_ROWS)
     buckets = sig.select(
         F.col(id_col).alias("doc"), F.explode(band_strs).alias("bucket")
-    )
+    ).filter(~F.col("bucket").endswith(sentinel_bucket))
     # Within-bucket pairs via ONE aggregation + double explode instead
     # of a bucket self-join: a self-join duplicates the whole upstream
     # subtree, so the signature UDF would run TWICE (measured 2× the
@@ -567,11 +573,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Recall contract: exact for hamming <= HAMMING_MAX (= SIMHASH_BANDS-1,
     pigeonhole over disjoint bands)."""
-    sig = (
-        simhash(df, id_col, text_col)
-        .select(F.col(id_col).alias("doc"), F.col("simhash"))
-        # signature 0 = "no shingles"; pairing those is meaningless
-        .filter(F.col("simhash") != 0)
+    # signature 0 = "no shingles"; pairing those is meaningless — but
+    # the exclusion must NOT be a filter on the UDF column here (it
+    # would push below the repartition and duplicate the Arrow pass;
+    # see minhash_lsh_pairs).  It is applied at the pair level below.
+    sig = simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("doc"), F.col("simhash")
     )
     chunks = sig.select(
         "doc",
@@ -597,7 +604,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         grouped.select(F.explode("ms").alias("a"), F.col("ms"))
         .select("a", F.explode("ms").alias("b"))
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.simhash") != 0)
+            & (F.col("b.simhash") != 0)
+        )
         .select(
             F.col("a.doc").alias("doc1"),
             F.col("b.doc").alias("doc2"),
