@@ -395,6 +395,43 @@ FROM ranked GROUP BY event_type
 """
 
 
+def q_order_value_deciles(spark, sf_dir):
+    """Window-function depth (W family): ntile decile assignment over a
+    fully deterministic order (unique tie-break) + per-decile bounds
+    and percent_rank extremes.
+
+    Scale note: an unpartitioned window is a single-task sort — fine
+    for a capability demo, wrong at 100 TB.  The scale path for global
+    deciles is event_value_quantiles' rank-selection shape or
+    rangepartitioned rank over approx-quantile boundaries."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.max("pr"), 6).alias("max_pr"),
+    )
+
+
+SQL_ORDER_VALUE_DECILES = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+         percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+  FROM orders
+)
+SELECT decile, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi, round(max(pr), 6) AS max_pr
+FROM ranked GROUP BY decile
+"""
+
+
 def q_order_rule_rollup(spark, sf_dir):
     """U3/U4 + A8: per-record fired-rule rollup, the err_all pattern
     (proccess_data.sql:814-841) on orders."""
@@ -1058,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_dedup_join_counts": q_stream_dedup_join_counts,
     "event_value_quantiles": q_event_value_quantiles,
+    "order_value_deciles": q_order_value_deciles,
     "orders_concat_sorted": q_orders_concat_sorted,
     "cust_supp_nation_matrix": q_cust_supp_nation_matrix,
     "asof_view_before_purchase": q_asof_view_before_purchase,
@@ -1125,6 +1163,7 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
+    "order_value_deciles": SQL_ORDER_VALUE_DECILES,
 }
 
 # late imports to keep module import light
