@@ -27,7 +27,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -246,18 +246,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, top_n: int = 
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles_arr(F.col(text_col)))).alias("shingle"),
     )
-    hot = (
-        raw.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > NGRAM_DF_CAP)
-        .select("shingle")
+    # df-cap as a WINDOW count over one exchange (the oracle's QUALIFY
+    # shape): the scan + shingle explode sits BELOW the shingle
+    # exchange, so Spark's ReusedExchange computes it once even though
+    # `sh` feeds both sizes and postings; the window count spills per
+    # partition instead of collecting a hot shingle's full posting
+    # list into one array (a separate groupBy-count + anti-join — the
+    # round-2 first cut — re-ran the whole explode subtree per
+    # consumer).
+    w = Window.partitionBy("shingle")
+    sh = (
+        raw.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
     )
-    sh = raw.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # posting-list pair generation via ONE aggregation + double explode
     # (not a self-join, which would evaluate the shingle-explode
     # subtree twice — see minhash_lsh_pairs); the df-cap above bounds
-    # every posting list, so collect_list stays small
+    # every posting list, so collect_list stays small, and groupBy
+    # (shingle) reuses the window's clustering — no extra exchange
     postings = (
         sh.groupBy("shingle")
         .agg(F.collect_list("doc").alias("docs"))
@@ -316,6 +324,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             labels.join(edges, labels.node == edges.src)
@@ -337,7 +346,18 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # min-label moves one hop per round, so a component of diameter
+        # > CC_MAX_ITERS would exit here with labels that SPLIT one
+        # logical cluster into several — silently under-deleting
+        # duplicates.  Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {CC_MAX_ITERS} "
+            "iterations — a component's diameter exceeds the bound; raise "
+            "CC_MAX_ITERS or pre-contract the graph"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
@@ -568,30 +588,32 @@ assert HAMMING_MAX < SIMHASH_BANDS
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Near-duplicate pairs by SimHash banding: candidates share one
-    15-bit chunk (equi-join — never a cross join), then exact Hamming
-    distance via bit_count(xor).  Canonical doc1 < doc2.
+    SIMHASH_BAND_BITS-bit chunk (6 bands × 10 bits — equi-join, never
+    a cross join), then exact Hamming distance via bit_count(xor).
+    Canonical doc1 < doc2.
 
     Recall contract: exact for hamming <= HAMMING_MAX (= SIMHASH_BANDS-1,
     pigeonhole over disjoint bands)."""
-    # signature 0 = "no shingles"; pairing those is meaningless — but
-    # the exclusion must NOT be a filter on the UDF column here (it
-    # would push below the repartition and duplicate the Arrow pass;
-    # see minhash_lsh_pairs).  It is applied at the pair level below.
     sig = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), F.col("simhash")
     )
+    # signature 0 = "no shingles"; pairing those is meaningless — and
+    # they would ALL share chunk 0 in every band, turning one bucket
+    # into a corpus-sized collect_list.  The exclusion lives INSIDE
+    # the generator expression (explode(NULL) emits no rows): a plain
+    # filter on the UDF column would be pushed below the repartition
+    # and duplicate the whole Arrow pass (plan-shape test gates this).
+    band_array = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.expr(f"(shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1})").alias("chunk"),
+        )
+        for j in range(SIMHASH_BANDS)
+    ])
     chunks = sig.select(
         "doc",
         "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.expr(f"(shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1})").alias("chunk"),
-                )
-                for j in range(SIMHASH_BANDS)
-            ])
-        ).alias("bc"),
+        F.explode(F.when(F.col("simhash") != 0, band_array)).alias("bc"),
     ).select("doc", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     # within-bucket pairs via one aggregation + double explode — a
     # bucket self-join would re-run the signature UDF subtree twice
@@ -604,11 +626,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         grouped.select(F.explode("ms").alias("a"), F.col("ms"))
         .select("a", F.explode("ms").alias("b"))
-        .filter(
-            (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("a.simhash") != 0)
-            & (F.col("b.simhash") != 0)
-        )
+        .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("doc1"),
             F.col("b.doc").alias("doc2"),

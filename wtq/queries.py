@@ -949,13 +949,17 @@ def q_tfidf_top_terms(spark, sf_dir):
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n_docs = d.count()  # tiny scalar; at scale: a broadcast subquery
+    # corpus size as a broadcast one-row aggregate, NOT a driver-side
+    # d.count(): an eager action here would run a full scan job at
+    # plan-construction time for every caller that only wants the plan
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     df_ = tok.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

@@ -61,6 +61,14 @@ def _run_available_now(
         .start()
     )
     q.awaitTermination()
+    import os
+
+    if not os.path.exists(out_dir):
+        # zero micro-batches fired (empty/missing source): behave like
+        # the old memory sink and return an empty result, not a
+        # PATH_NOT_FOUND crash
+        spark = stream_df.sparkSession
+        return spark.createDataFrame([], stream_df.schema)
     result = stream_df.sparkSession.read.parquet(out_dir)
     if mode != "complete":
         if not key_cols:
@@ -122,10 +130,14 @@ def stream_dedup_join_counts(spark: SparkSession, sf_dir: str, checkpoint: str) 
         .parquet(sf_dir)
     )
     replayed = src.withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2))))
+    # dropDuplicatesWithinWatermark — NOT dropDuplicates([id]): with a
+    # plain subset that excludes the event-time column, the watermark
+    # never evicts dedup state and the state store grows one entry per
+    # event_id forever on a continuous stream
     deduped = (
         replayed.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
         .withWatermark("ts_ltz", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
     tiers = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -134,15 +146,18 @@ def stream_dedup_join_counts(spark: SparkSession, sf_dir: str, checkpoint: str) 
         .withColumn("tier", F.upper(F.substring("event_type", 1, 1)))
     )
     joined = deduped.join(F.broadcast(tiers), "event_type")
+    # money discipline (DEVNOTES §9): sum in the decimal domain so the
+    # result is independent of partition/micro-batch merge order
     agg = joined.groupBy("tier").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
     )
     return _run_available_now(agg, checkpoint)
 
 
 SQL_STREAM_DEDUP_JOIN_COUNTS = """
 SELECT upper(substr(event_type, 1, 1)) AS tier, count(*) AS n,
-       round(sum(value), 4) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
 FROM events GROUP BY 1
 """
 
