@@ -23,6 +23,10 @@ QUERIES_TO_CHECK = [
     "tfidf_top_terms",       # broadcast IDF + window top-k
     "event_value_quantiles", # rank-selected percentiles
     "stratified_sample",     # hash-ordered per-group top-k
+    "event_json_stats",      # double avg over JSON-extracted values
+    "intersect_except",      # decimal sum feeding a membership threshold
+    "priority_case_ladder",  # decimal-domain mean
+    "image_features",        # mapInPandas feature extraction
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

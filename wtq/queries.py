@@ -465,8 +465,14 @@ def q_priority_case_ladder(spark, sf_dir):
         .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
         .otherwise("cold")
     )
+    # mean as exact decimal sum / count (order-independent), divided
+    # once in doubles on both engines
     return o.groupBy(cls.alias("priority_class")).agg(
-        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price")
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") / F.count("*"),
+            2,
+        ).alias("avg_price"),
     )
 
 
@@ -474,7 +480,8 @@ SQL_PRIORITY_CASE_LADDER = """
 SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
             WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
             ELSE 'cold' END AS priority_class,
-       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+       count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_price
 FROM orders GROUP BY 1
 """
 
@@ -841,8 +848,11 @@ def q_intersect_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # decimal-domain sum (DEVNOTES §9): a double sum's last ulp depends
+    # on partition merge order, and this one feeds a > threshold that
+    # flips MEMBERSHIP, not just a rounded digit
     big_spenders = (
-        o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        o.groupBy("o_custkey").agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"))
         .filter(F.col("s") > 500000)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
@@ -859,7 +869,8 @@ def q_intersect_except(spark, sf_dir):
 
 SQL_INTERSECT_EXCEPT = """
 WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-big AS (SELECT o_custkey AS c_custkey FROM orders GROUP BY 1 HAVING sum(o_totalprice) > 500000)
+big AS (SELECT o_custkey AS c_custkey FROM orders GROUP BY 1
+        HAVING sum(CAST(o_totalprice AS DECIMAL(18,4))) > 500000)
 SELECT 'intersect' AS setop, count(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
 UNION ALL
 SELECT 'except', count(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM big)

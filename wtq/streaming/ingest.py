@@ -97,7 +97,10 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str, checkpoint: str) -> 
         src.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
         .withWatermark("ts_ltz", "1 hour")
         .groupBy(F.window("ts_ltz", "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
+        )
     )
     out = _run_available_now(agg, checkpoint)
     return out.select(
@@ -110,7 +113,8 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str, checkpoint: str) -> 
 
 SQL_WINDOWED_EVENT_COUNTS = """
 SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_ms,
-       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
 FROM events GROUP BY 1, 2
 """
 
