@@ -36,3 +36,31 @@ def test_stateful_running_totals(spark, tmp_path):
     assert len(m) == len(batch) == len(got)
     assert (m.n_s == m.n_b).all()
     assert (abs(m.total_s - m.total_b) < 1e-9).all()
+
+
+def test_streaming_pipeline_matches_batch(spark, pages_path, tmp_path):
+    """The incremental (Structured Streaming) pipeline must produce
+    decision-for-decision the same output as the batch pipeline on the
+    same snapshot — the same-logic-both-modes contract."""
+    from wtq.pipeline import run_pipeline
+    from wtq.streaming.ingest import streaming_pipeline
+
+    out = str(tmp_path / "stream_out")
+    streaming_pipeline(spark, pages_path, str(tmp_path / "ckpt"), out)
+    streamed = (
+        spark.read.parquet(out)
+        .select("url", "keep", "fired_rules")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    batch = (
+        run_pipeline(spark, pages_path, num_partitions=8)
+        .decisions.toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(streamed) == len(batch)
+    assert (streamed.url == batch.url).all()
+    assert (streamed.keep == batch.keep).all()
+    assert all(list(a) == list(b) for a, b in zip(streamed.fired_rules, batch.fired_rules))

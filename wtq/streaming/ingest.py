@@ -166,6 +166,57 @@ FROM events GROUP BY 1
 """
 
 
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampNTZType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def streaming_pipeline(spark: SparkSession, pages_path: str, checkpoint: str, out_dir: str) -> None:
+    """The quality-filter pipeline as an incremental job: the SAME
+    ``decide`` logic the batch path runs, driven by Structured
+    Streaming with ``Trigger.AvailableNow`` through a foreachBatch
+    parquet sink.  This is the snapshot-reprocess → incremental
+    upgrade path SURVEY.md §2.9 names: new crawl files land in the
+    directory, the next run processes only them, checkpoint state
+    carries forward.
+
+    Re-crawl dedup note: within a micro-batch the batch window dedup
+    applies verbatim; across batches, url-level latest-crawl selection
+    is the checkpoint/Iceberg MERGE concern (wtq/checkpoint.py) — a
+    streaming dropDuplicates would keep the FIRST sighting, which is
+    the wrong row for re-crawls, so it is deliberately not used here.
+    Equality with the batch pipeline on a snapshot is gated in
+    tests/test_streaming.py."""
+    from wtq.pipeline import decide
+
+    import os
+
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(pages_path if os.path.isdir(pages_path) else os.path.dirname(pages_path))
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        decide(batch_df, num_partitions=batch_df.sparkSession.sparkContext.defaultParallelism).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 _STATE_SCHEMA = "user_id long, n long, total double"
 _OUT_SCHEMA = "user_id long, n long, total double"
 
