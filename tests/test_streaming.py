@@ -64,3 +64,32 @@ def test_streaming_pipeline_matches_batch(spark, pages_path, tmp_path):
     assert (streamed.url == batch.url).all()
     assert (streamed.keep == batch.keep).all()
     assert all(list(a) == list(b) for a, b in zip(streamed.fired_rules, batch.fired_rules))
+
+
+def test_streaming_pipeline_is_incremental(spark, pages_path, tmp_path):
+    """New files landing in the input directory are processed by the
+    next run WITHOUT reprocessing the old ones — the checkpoint carries
+    the file-source state forward (the incremental property itself,
+    not just batch parity)."""
+    import shutil
+
+    import pandas as pd
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    shutil.copy(pages_path, src_dir / "batch1.parquet")
+
+    from wtq.streaming.ingest import streaming_pipeline
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    streaming_pipeline(spark, str(src_dir), ckpt, out)
+    n1 = spark.read.parquet(out).count()
+
+    extra = pd.read_parquet(pages_path).head(7).copy()
+    extra["url"] = extra["url"] + "-late"
+    extra.to_parquet(src_dir / "batch2.parquet", index=False)
+
+    streaming_pipeline(spark, str(src_dir), ckpt, out)
+    total = spark.read.parquet(out)
+    assert total.count() == n1 + 7  # batch1 NOT reprocessed
+    assert total.filter(total.url.endswith("-late")).count() == 7
