@@ -78,10 +78,12 @@ def main() -> None:
         log(f"  derived views: {time.time() - t1:.2f}s")
         return time.time() - t0, n
 
-    # best-of-2: the VM throttles under sustained load
+    # best-of-3: the VM throttles under sustained load (the same warm
+    # job has measured 5s and 75s minutes apart)
     pipeline_sec, n_docs = one_pipeline_run()
-    sec2, _ = one_pipeline_run()
-    pipeline_sec = min(pipeline_sec, sec2)
+    for _ in range(2):
+        sec_i, _ = one_pipeline_run()
+        pipeline_sec = min(pipeline_sec, sec_i)
     shutil.rmtree(out, ignore_errors=True)
     docs_per_sec = n_docs / pipeline_sec
     log(f"pipeline: {n_docs} docs in {pipeline_sec:.2f}s = {docs_per_sec:.0f} docs/sec")
@@ -107,7 +109,10 @@ def main() -> None:
     q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
     for name in headline:
         best = None
-        for _ in range(2):  # best-of-2: the VM throttles under sustained load
+        # best-of-3: the VM throttles under sustained load — the same
+        # warm query has measured 2.3s and 9.7s minutes apart, so two
+        # samples are not enough to reliably catch a clean one
+        for _ in range(3):
             t0 = time.time()
             # full collect (results are small) so no column gets pruned away
             n = len(QUERIES[name](spark, sf_dir).collect())
