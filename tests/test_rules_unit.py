@@ -146,3 +146,21 @@ def test_video_stream_frame_walk():
     assert len(out) == len(frames)
     for a, b in zip(out, frames):
         assert np.array_equal(a, b)
+
+
+def test_signature_batches_edge_inputs():
+    """Sentinel contracts for degenerate docs: empty/short texts get
+    the sentinel minhash signature and simhash 0 (excluded from
+    pairing), None is tolerated, and both batches are deterministic."""
+    from wtq.operators.dedup import MINHASH_P, N_PERM, _sig_batch, _simhash_batch
+
+    texts = ["", "one two", None, "one two three four five", "  ", "one two three"]
+    sigs = _sig_batch(texts)
+    sims = _simhash_batch(texts)
+    assert sigs[0] == [MINHASH_P] * N_PERM and sims[0] == 0
+    assert sigs[1] == [MINHASH_P] * N_PERM and sims[1] == 0  # < k words
+    assert sigs[2] == [MINHASH_P] * N_PERM and sims[2] == 0  # None
+    assert sigs[3] != [MINHASH_P] * N_PERM and sims[3] != 0
+    assert sigs == _sig_batch(texts) and sims == _simhash_batch(texts)
+    # one-shingle doc: signature defined, nonzero
+    assert sims[5] != 0 and max(sigs[5]) < MINHASH_P
