@@ -212,3 +212,17 @@ def test_bucketed_join_avoids_exchange(spark, tmp_path):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_connected_components_deep_chain(spark):
+    """A 200-node chain (diameter 199 >> CC_MAX_ITERS=20) must still
+    converge — pointer jumping doubles reach per round, so convergence
+    is O(log diameter), and the old one-hop variant would raise here."""
+    from wtq.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc1 long, doc2 long"
+    )
+    cc = connected_components(pairs).collect()
+    assert len(cc) == 200
+    assert {r.cluster for r in cc} == {0}

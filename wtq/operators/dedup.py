@@ -304,14 +304,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
     (group by geom having count>1, proccess_data.sql:204-213) to a
     similarity GRAPH.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels); converges in graph-
-    diameter rounds (the standard large-scale CC construction, cf.
-    GraphFrames/Pregel).  Each iteration is two distributed hash
-    joins; the driver only checks a scalar convergence count.
-    localCheckpoint truncates the growing lineage so plan size stays
-    O(1) per round.  Near-dup clusters are small and shallow in
-    practice, so rounds ≪ CC_MAX_ITERS.
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node takes min(own label, neighbors' labels), then shortcuts
+    to its label's label (path halving).  Rounds = O(log diameter),
+    not O(diameter): a 1M-node chain converges in ~20 rounds instead
+    of 1M (the Hash-to-Min / GraphFrames construction).  Each round is
+    distributed hash joins; the driver only reads one scalar per round
+    — the SUM of labels, which strictly decreases until convergence
+    (labels only ever decrease), a cheaper check than a change-count
+    join.  localCheckpoint truncates lineage so plan size stays O(1)
+    per round.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -325,38 +327,42 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         .withColumn("label", F.col("node"))
     )
     converged = False
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             labels.join(edges, labels.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+        # pointer jump (path halving): label <- label of my label.
+        # Turns O(diameter) convergence into O(log diameter).
+        ptr = hop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            hop.join(ptr, hop.label == ptr.p_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
-        # min-label moves one hop per round, so a component of diameter
-        # > CC_MAX_ITERS would exit here with labels that SPLIT one
-        # logical cluster into several — silently under-deleting
-        # duplicates.  Fail loudly instead.
+        # with pointer jumping the reach doubles per round, so this
+        # fires only for components of diameter > ~2^CC_MAX_ITERS —
+        # but if it does, labels would SPLIT one logical cluster into
+        # several, silently under-deleting duplicates.  Fail loudly.
         raise RuntimeError(
             f"connected_components did not converge within {CC_MAX_ITERS} "
-            "iterations — a component's diameter exceeds the bound; raise "
-            "CC_MAX_ITERS or pre-contract the graph"
+            "pointer-jumping iterations — raise CC_MAX_ITERS or "
+            "pre-contract the graph"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
