@@ -117,7 +117,7 @@ def test_langid_l1_rule_quality(spark, pages_path):
     decided = run_pipeline(spark, pages_path, num_partitions=8).decisions.toPandas()
     def feat_of(url: str) -> str:
         key = int(re.search(r"/doc/(\d+)", url).group(1))
-        return _FEATURE_CLASSES[key % 17]
+        return _FEATURE_CLASSES[key % len(_FEATURE_CLASSES)]
     decided["feat"] = decided.url.map(feat_of)
     decided["l1"] = decided.fired_rules.map(lambda rs: "L-1" in list(rs))
     wrong = decided[decided.feat == "wrong_lang"]
@@ -126,3 +126,22 @@ def test_langid_l1_rule_quality(spark, pages_path):
     false_rate = clean.l1.mean()
     assert recall >= 0.65, f"L-1 recall on planted wrong-lang pages too low: {recall:.2f}"
     assert false_rate <= 0.05, f"L-1 false-fire rate on clean classes too high: {false_rate:.2f}"
+
+
+def test_new_rules_fire_on_their_classes(spark, pages_path):
+    """Q-11 (code braces) and Q-12 (lorem ipsum) must fire on their
+    planted classes and essentially nowhere clean."""
+    import re
+
+    from wtq.generate import _FEATURE_CLASSES
+    from wtq.pipeline import run_pipeline
+
+    d = run_pipeline(spark, pages_path, num_partitions=8).decisions.toPandas()
+    d["feat"] = d.url.map(
+        lambda u: _FEATURE_CLASSES[int(re.search(r"/doc/(\d+)", u).group(1)) % len(_FEATURE_CLASSES)]
+    )
+    for feat, code in (("code_spam", "Q-11"), ("lorem_ipsum", "Q-12")):
+        hit = d[d.feat == feat].fired_rules.map(lambda rs, c=code: c in list(rs))
+        assert hit.mean() >= 0.95, f"{code} recall on {feat}: {hit.mean():.2f}"
+        clean = d[d.feat == "normal"].fired_rules.map(lambda rs, c=code: c in list(rs))
+        assert clean.mean() == 0.0, f"{code} fired on normal pages"

@@ -15,7 +15,8 @@ Planted features (FIXTURES.md §1): too-short/too-long docs, symbol
 spam, stopword-free docs, repeated boilerplate lines, PII (emails,
 phones, IPs), profanity, wrong-language docs, re-crawled duplicate
 urls, near-duplicates, gibberish, bullet/ellipsis spam, repeated-word
-spam, over-long words — one feature class per ``key % 17``, plus a
+spam, over-long words, code braces, lorem-ipsum filler — one
+feature class per ``key % N_CLASSES``, plus a
 Zipf-skewed host pool so a few hot hosts own most urls
 (salted-repartition skew test, SURVEY.md §7 hard-part 3).
 """
@@ -37,8 +38,9 @@ _FEATURE_CLASSES = [
     "normal", "too_short", "too_long", "symbol_spam", "no_stopwords",
     "boilerplate", "email", "phone", "ip", "profanity", "wrong_lang",
     "recrawl_dup", "near_dup", "gibberish", "bullets", "ellipsis",
-    "top_word_spam",
+    "top_word_spam", "code_spam", "lorem_ipsum",
 ]
+N_CLASSES = len(_FEATURE_CLASSES)
 
 BOILERPLATE_LINE = "Subscribe to our newsletter today for more updates"
 
@@ -80,7 +82,7 @@ def _to_lines(rng: random.Random, words: list[str]) -> str:
 def _gen_text(key: int, lang: str) -> tuple[str, str]:
     """Return (feature_class, text) for a page key."""
     rng = _rng(key)
-    feat = _FEATURE_CLASSES[key % 17]
+    feat = _FEATURE_CLASSES[key % N_CLASSES]
     n = rng.randint(40, 200)
 
     if feat == "too_short":
@@ -150,6 +152,23 @@ def _gen_text(key: int, lang: str) -> tuple[str, str]:
         for _ in range(k):
             words.insert(rng.randrange(len(words)), spam_word)
         return feat, _to_lines(rng, words)
+    if feat == "code_spam":
+        # javascript/markup spill: a third of lines carry curly braces
+        words = _normal_words(rng, lang, n)
+        body = _to_lines(rng, words).split("\n")
+        out = []
+        for i, l in enumerate(body):
+            if i % 3 == 0:
+                out.append("function f" + str(i) + "() { return " + l.split(" ")[0] + "; }")
+            else:
+                out.append(l)
+        return feat, "\n".join(out)
+    if feat == "lorem_ipsum":
+        words = _normal_words(rng, lang, n)
+        # single list element so _to_lines can't split the phrase
+        # across a line break
+        words.insert(rng.randrange(len(words)), "Lorem ipsum dolor sit amet")
+        return feat, _to_lines(rng, words)
     # normal + recrawl_dup body
     return feat, _to_lines(rng, _normal_words(rng, lang, n))
 
@@ -190,7 +209,7 @@ def generate_pages_pdf(sf_dir: str, replicate: int = 1) -> pd.DataFrame:
     return pdf
 
 
-GEN_VERSION = 2  # bump to invalidate /tmp caches when generation changes
+GEN_VERSION = 3  # bump to invalidate /tmp caches when generation changes
 
 
 def ensure_pages(sf_dir: str, replicate: int = 1, cache_root: str = "/tmp/wtq_pages") -> str:

@@ -54,6 +54,8 @@ SCORE_SCHEMA = T.StructType(
         T.StructField("ellipsis_frac", T.DoubleType()),
         T.StructField("rep_line_frac", T.DoubleType()),
         T.StructField("top_word_frac", T.DoubleType()),
+        T.StructField("brace_line_frac", T.DoubleType()),
+        T.StructField("has_lorem", T.DoubleType()),
     ]
 )
 
@@ -95,6 +97,8 @@ def score_udf(texts: pd.Series) -> pd.DataFrame:
                 st["ellipsis_frac"],
                 st["rep_line_frac"],
                 st["top_word_frac"],
+                st["brace_line_frac"],
+                st["has_lorem"],
             )
         )
     return pd.DataFrame(rows, columns=[f.name for f in SCORE_SCHEMA.fields])
@@ -150,6 +154,7 @@ def decide(pages: DataFrame, num_partitions: int | None = None, dedup: bool = Tr
         for k in (
             "n_words", "n_lines", "mean_word_len", "symbol_ratio",
             "stopword_frac", "bullet_frac", "ellipsis_frac",
+            "brace_line_frac", "has_lorem",
         )
     }
     fired = H.fired_rules_expr(

@@ -28,6 +28,8 @@ Definitions (on the SCRUBBED text):
   rep_line_frac   = Σ len(line)·(occurrences-1) over distinct lines
                     / Σ len(line)                (0.0 if no lines)
   top_word_frac   = max word frequency / n_words  (0.0 if no words)
+  brace_line_frac = count(line contains "{" or "}") / max(n_lines, 1)
+  has_lorem       = 1.0 iff lower(text) contains "lorem ipsum"
 """
 
 from __future__ import annotations
@@ -67,6 +69,8 @@ def fired_rules_expr(
         (stats["bullet_frac"] > R.BULLET_LINE_FRAC_MAX, "Q-8"),
         (stats["ellipsis_frac"] > R.ELLIPSIS_LINE_FRAC_MAX, "Q-9"),
         (top_word_frac > R.TOP_WORD_FRAC_MAX, "Q-10"),
+        (stats["brace_line_frac"] > R.BRACE_LINE_FRAC_MAX, "Q-11"),
+        (stats["has_lorem"] > 0, "Q-12"),
         (lang_mismatch, "L-1"),
         (ppl > R.PPL_MAX, "P-1"),
         (profanity_hits >= R.PROFANITY_MIN_HITS, "T-1"),
@@ -125,6 +129,8 @@ def py_stats(text: str) -> dict[str, float]:
         "ellipsis_frac": sum(1 for l in lines if l.endswith("...")) / nl,
         "rep_line_frac": py_rep_line_frac(text),
         "top_word_frac": py_top_word_frac(text),
+        "brace_line_frac": sum(1 for l in lines if "{" in l or "}" in l) / nl,
+        "has_lorem": 1.0 if "lorem ipsum" in text.lower() else 0.0,
     }
 
 
@@ -155,6 +161,10 @@ def py_fired_rules(
         fired.append("Q-9")
     if stats["top_word_frac"] > R.TOP_WORD_FRAC_MAX:
         fired.append("Q-10")
+    if stats["brace_line_frac"] > R.BRACE_LINE_FRAC_MAX:
+        fired.append("Q-11")
+    if stats["has_lorem"] > 0:
+        fired.append("Q-12")
     if lang_mismatch:
         fired.append("L-1")
     if ppl > R.PPL_MAX:

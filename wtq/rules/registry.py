@@ -34,6 +34,8 @@ RULES: list[Rule] = [
     Rule("Q-8", "bullet_lines", "fraction of bullet-point lines above BULLET_LINE_FRAC_MAX"),
     Rule("Q-9", "ellipsis_lines", "fraction of lines ending in ellipsis above ELLIPSIS_LINE_FRAC_MAX"),
     Rule("Q-10", "top_word_frac", "most frequent word exceeds TOP_WORD_FRAC_MAX of all words"),
+    Rule("Q-11", "code_braces", "fraction of lines containing curly braces above BRACE_LINE_FRAC_MAX (code/markup spill — C4's '{' filter)"),
+    Rule("Q-12", "lorem_ipsum", "contains the 'lorem ipsum' placeholder phrase (C4 filler filter)"),
     Rule("L-1", "lang_mismatch", "language-ID prediction disagrees with the crawl lang label"),
     Rule("P-1", "perplexity", "character-n-gram perplexity above PPL_MAX (gibberish)"),
     Rule("T-1", "toxicity", "profanity-lexicon hit count at/above PROFANITY_MIN_HITS"),
@@ -50,6 +52,7 @@ REP_LINE_FRAC_MAX = 0.30
 BULLET_LINE_FRAC_MAX = 0.90
 ELLIPSIS_LINE_FRAC_MAX = 0.30
 TOP_WORD_FRAC_MAX = 0.20
+BRACE_LINE_FRAC_MAX = 0.10
 PPL_MAX = 18.0
 PROFANITY_MIN_HITS = 1
 
