@@ -925,6 +925,41 @@ def q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dataset_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (98/1/1) by content
+    hash — the standard leakage-safe split: a document's split is a
+    pure function of its id, stable across reruns, engines, and
+    cluster sizes (rand()-based splits are none of those).  Bucket =
+    md5-derived 60-bit int mod 1000, reproducible bit-for-bit in the
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+SQL_DATASET_SPLIT_COUNTS = """
+WITH b AS (
+  SELECT lang,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n, count(DISTINCT lang) AS n_langs
+FROM b GROUP BY 1
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (training-data subsetting):
     top-5 docs per lang ordered by md5(doc_id) — a content-hash
@@ -1123,6 +1158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_radius_join": q_spatial_radius_join,
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
+    "dataset_split_counts": q_dataset_split_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
@@ -1176,6 +1212,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "dedup_clusters": D.sql_dedup_clusters("documents", "doc_id", "text"),
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "dataset_split_counts": SQL_DATASET_SPLIT_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "order_value_deciles": SQL_ORDER_VALUE_DECILES,
