@@ -61,3 +61,21 @@ def test_multimodal_stub_and_batching(spark):
     assert feats.count() == docs.count()
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Fragmented output (64 files) compacts to the target file count
+    with identical rows — the small-files maintenance op."""
+    import glob
+
+    from wtq.sources.files import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 64
+    n_files = compact_parquet(spark, src, dst, target_rows_per_file=1000)
+    assert len(glob.glob(dst + "/part-*")) == n_files < 64
+    a = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
+    b = sorted(r.o_orderkey for r in orders.collect())
+    assert a == b

@@ -925,6 +925,33 @@ def q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_profile_orders(spark, sf_dir):
+    """Data-profiling pass (quality telemetry a curation pipeline runs
+    before training): per-column null and exact distinct counts in ONE
+    aggregate over one scan, unpivoted to long form with stack()."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = o.agg(*aggs)
+    stack = "stack({}, {}) as (column, n_nulls, n_distinct)".format(
+        len(_PROFILE_COLS),
+        ", ".join(f"'{c}', {c}__nulls, {c}__distinct" for c in _PROFILE_COLS),
+    )
+    return wide.selectExpr(stack)
+
+
+SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, count(*) - count({c}) AS n_nulls, "
+    f"count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
 def q_dataset_split_counts(spark, sf_dir):
     """Deterministic train/val/test assignment (98/1/1) by content
     hash — the standard leakage-safe split: a document's split is a
@@ -1159,6 +1186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "dataset_split_counts": q_dataset_split_counts,
+    "profile_orders": q_profile_orders,
     "tfidf_top_terms": q_tfidf_top_terms,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
@@ -1213,6 +1241,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": D.sql_dedup_clusters("documents", "doc_id", "text"),
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dataset_split_counts": SQL_DATASET_SPLIT_COUNTS,
+    "profile_orders": SQL_PROFILE_ORDERS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "order_value_deciles": SQL_ORDER_VALUE_DECILES,

@@ -33,3 +33,21 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-files compaction — the maintenance op every long-running
+    ingest needs (each streaming micro-batch / checkpoint chunk writes
+    its own files; a 100 TB table accumulates millions of them, and
+    scan planning degrades with file count).  Rewrites `src` into
+    ceil(rows / target_rows_per_file) files at `dst` via coalesce
+    (no shuffle — existing partitions are merged, not redistributed).
+    Returns the output file count.  On Iceberg this is
+    rewrite_data_files; the parquet form is the sandbox stand-in."""
+    df = spark.read.parquet(src)
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    df.coalesce(files).write.mode("overwrite").parquet(dst)
+    return files
