@@ -102,6 +102,17 @@ def test_differential_at_sf01(spark):
     assert not bad, bad[:5]
 
 
+def _feat_of(url: str) -> str:
+    """Planted feature class of a generated page url (shared by the
+    rule-quality tests; key scheme and modulo live in wtq.generate)."""
+    import re
+
+    from wtq.generate import _FEATURE_CLASSES, N_CLASSES
+
+    key = int(re.search(r"/doc/(\d+)", url).group(1))
+    return _FEATURE_CLASSES[key % N_CLASSES]
+
+
 def test_langid_l1_rule_quality(spark, pages_path):
     """Measured precision/recall for the L-1 (language-mismatch) rule
     on the labeled synthetic distribution: pages of class `wrong_lang`
@@ -109,16 +120,10 @@ def test_langid_l1_rule_quality(spark, pages_path):
     classes should essentially never fire it.  (fastText-grade
     real-world accuracy is not measurable offline — this pins the
     rule's behavior on the distribution we can label.)"""
-    import re
-
-    from wtq.generate import _FEATURE_CLASSES
     from wtq.pipeline import run_pipeline
 
     decided = run_pipeline(spark, pages_path, num_partitions=8).decisions.toPandas()
-    def feat_of(url: str) -> str:
-        key = int(re.search(r"/doc/(\d+)", url).group(1))
-        return _FEATURE_CLASSES[key % len(_FEATURE_CLASSES)]
-    decided["feat"] = decided.url.map(feat_of)
+    decided["feat"] = decided.url.map(_feat_of)
     decided["l1"] = decided.fired_rules.map(lambda rs: "L-1" in list(rs))
     wrong = decided[decided.feat == "wrong_lang"]
     clean = decided[decided.feat.isin(["normal", "recrawl_dup", "near_dup", "email", "phone", "ip"])]
@@ -131,15 +136,10 @@ def test_langid_l1_rule_quality(spark, pages_path):
 def test_new_rules_fire_on_their_classes(spark, pages_path):
     """Q-11 (code braces) and Q-12 (lorem ipsum) must fire on their
     planted classes and essentially nowhere clean."""
-    import re
-
-    from wtq.generate import _FEATURE_CLASSES
     from wtq.pipeline import run_pipeline
 
     d = run_pipeline(spark, pages_path, num_partitions=8).decisions.toPandas()
-    d["feat"] = d.url.map(
-        lambda u: _FEATURE_CLASSES[int(re.search(r"/doc/(\d+)", u).group(1)) % len(_FEATURE_CLASSES)]
-    )
+    d["feat"] = d.url.map(_feat_of)
     for feat, code in (("code_spam", "Q-11"), ("lorem_ipsum", "Q-12")):
         hit = d[d.feat == feat].fired_rules.map(lambda rs, c=code: c in list(rs))
         assert hit.mean() >= 0.95, f"{code} recall on {feat}: {hit.mean():.2f}"

@@ -327,7 +327,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         .withColumn("label", F.col("node"))
     )
     converged = False
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sum: node ids may be 60-bit hashes, and an int64
+    # sum of those overflows (ANSI mode would throw mid-algorithm)
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             labels.join(edges, labels.node == edges.src)
@@ -348,7 +351,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
                 F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
             )
         ).localCheckpoint(eager=True)
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True

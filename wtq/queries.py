@@ -303,15 +303,21 @@ FROM (
 def q_event_json_stats(spark, sf_dir):
     """P6-analog semi-structured access (`->>`): JSON prop extraction."""
     e = _t(spark, sf_dir, "events")
+    # mean = exact decimal sum / count (partition-order independent)
     return (
-        e.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("decimal(18,6)"))
         .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("*").alias("n"))
+        .agg(
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+            F.count("*").alias("n"),
+        )
     )
 
 
 SQL_EVENT_JSON_STATS = """
-SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+SELECT event_type,
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,6))) AS DOUBLE)
+             / count(json_extract_string(props, '$.k')), 4) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """

@@ -44,10 +44,16 @@ def compact_parquet(
     scan planning degrades with file count).  Rewrites `src` into
     ceil(rows / target_rows_per_file) files at `dst` via coalesce
     (no shuffle — existing partitions are merged, not redistributed).
-    Returns the output file count.  On Iceberg this is
-    rewrite_data_files; the parquet form is the sandbox stand-in."""
+    Returns the ACTUAL output file count — coalesce cannot increase
+    partition count, so when the source already has fewer partitions
+    than the target the smaller number is written and returned.  The
+    row count costs one extra scan; a production version derives it
+    from table metadata (Iceberg's rewrite_data_files does exactly
+    that — this parquet form is the sandbox stand-in)."""
     df = spark.read.parquet(src)
     n = df.count()
     files = max(1, -(-n // target_rows_per_file))
-    df.coalesce(files).write.mode("overwrite").parquet(dst)
-    return files
+    out = df.coalesce(files)
+    actual = out.rdd.getNumPartitions()
+    out.write.mode("overwrite").parquet(dst)
+    return actual

@@ -197,16 +197,28 @@ def streaming_pipeline(spark: SparkSession, pages_path: str, checkpoint: str, ou
 
     import os
 
+    # a file path must not widen into its parent directory's glob —
+    # sibling tables would stream through the pinned schema as
+    # all-null rows; restrict the glob to exactly the named file
+    if os.path.isdir(pages_path):
+        src_dir, pattern = pages_path, "*.parquet"
+    else:
+        src_dir, pattern = os.path.dirname(pages_path), os.path.basename(pages_path)
     src = (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(pages_path if os.path.isdir(pages_path) else os.path.dirname(pages_path))
+        .option("pathGlobFilter", pattern)
+        .parquet(src_dir)
     )
 
     def _process(batch_df, batch_id: int) -> None:
+        # per-batch directory with overwrite = idempotent under batch
+        # REPLAY: a crash between sink write and checkpoint commit
+        # re-runs the batch into the same path instead of appending a
+        # duplicate copy (read-back discovers `batch` as a partition
+        # column)
         decide(batch_df, num_partitions=batch_df.sparkSession.sparkContext.defaultParallelism).write.mode(
-            "append"
-        ).parquet(out_dir)
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         src.writeStream.foreachBatch(_process)
