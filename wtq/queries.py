@@ -958,6 +958,49 @@ SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
 )
 
 
+def q_dedup_apply(spark, sf_dir):
+    """The deletion step that closes the dedup loop: resolve near-dup
+    clusters (MinHash-LSH pairs → connected components), keep ONE
+    representative per cluster (the min id), drop the rest, and report
+    the corpus accounting.  Left-anti join against the non-
+    representative member set — the keep-one contract a training-data
+    pipeline actually executes."""
+    d = _t(spark, sf_dir, "documents")
+    cc = D.connected_components(D.minhash_lsh_pairs(d, "doc_id", "text"))
+    drop = cc.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = d.join(drop, "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def sql_dedup_apply(table: str, id_col: str, text_col: str) -> str:
+    pairs = D.sql_minhash_lsh_pairs(table, id_col, text_col)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node),
+    dropped AS (SELECT node AS {id_col} FROM labels WHERE node <> cluster)
+    SELECT count(*) AS n_kept, count(DISTINCT lang) AS n_langs,
+           min({id_col}) AS min_doc, max({id_col}) AS max_doc
+    FROM {table} WHERE {id_col} NOT IN (SELECT {id_col} FROM dropped)
+    """
+
+
 def q_dataset_split_counts(spark, sf_dir):
     """Deterministic train/val/test assignment (98/1/1) by content
     hash — the standard leakage-safe split: a document's split is a
@@ -1190,6 +1233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "spatial_radius_join": q_spatial_radius_join,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "stratified_sample": q_stratified_sample,
     "dataset_split_counts": q_dataset_split_counts,
     "profile_orders": q_profile_orders,
@@ -1245,6 +1289,7 @@ ORACLE_SQL: dict[str, str] = {
         "customer", "c_custkey", 37, 91, "supplier", "s_suppkey", 53, 17
     ),
     "dedup_clusters": D.sql_dedup_clusters("documents", "doc_id", "text"),
+    "dedup_apply": sql_dedup_apply("documents", "doc_id", "text"),
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dataset_split_counts": SQL_DATASET_SPLIT_COUNTS,
     "profile_orders": SQL_PROFILE_ORDERS,
