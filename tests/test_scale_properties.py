@@ -226,3 +226,16 @@ def test_connected_components_deep_chain(spark):
     cc = connected_components(pairs).collect()
     assert len(cc) == 200
     assert {r.cluster for r in cc} == {0}
+
+
+def test_connected_components_string_ids(spark):
+    """Node ids are any orderable type — url-keyed near-dup graphs are
+    strings.  (The numeric label-sum convergence check this replaced
+    crashed on exactly this input.)"""
+    from wtq.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc1 string, doc2 string"
+    )
+    cc = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -11,4 +11,36 @@ predicate (water.lua:224-241), and tag/content scrubbing
 pages ``(url, warc_ts, html, text, lang)``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # Lazy public API: resolving these imports pyspark-heavy modules
+    # only when first touched, keeping `import wtq` cheap.
+    _API = {
+        "get_spark": ("wtq.session", "get_spark"),
+        "decide": ("wtq.pipeline", "decide"),
+        "run_pipeline": ("wtq.pipeline", "run_pipeline"),
+        "run_checkpointed": ("wtq.checkpoint", "run_checkpointed"),
+        "exact_duplicates": ("wtq.operators.dedup", "exact_duplicates"),
+        "minhash_lsh_pairs": ("wtq.operators.dedup", "minhash_lsh_pairs"),
+        "simhash_near_pairs": ("wtq.operators.dedup", "simhash_near_pairs"),
+        "ngram_jaccard_pairs": ("wtq.operators.dedup", "ngram_jaccard_pairs"),
+        "connected_components": ("wtq.operators.dedup", "connected_components"),
+        "dedup_clusters": ("wtq.operators.dedup", "dedup_clusters"),
+        "brute_force_topk": ("wtq.operators.similarity", "brute_force_topk"),
+        "lsh_top1": ("wtq.operators.similarity", "lsh_top1"),
+        "ivf_topk": ("wtq.operators.similarity", "ivf_topk"),
+        "embedding_dup_pairs": ("wtq.operators.similarity", "embedding_dup_pairs"),
+        "grid_radius_join": ("wtq.operators.spatial", "grid_radius_join"),
+        "salted_join": ("wtq.operators.skew", "salted_join"),
+        "asof_join_backward": ("wtq.operators.asof", "asof_join_backward"),
+        "streaming_pipeline": ("wtq.streaming.ingest", "streaming_pipeline"),
+        "compact_parquet": ("wtq.sources.files", "compact_parquet"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'wtq' has no attribute {name!r}")

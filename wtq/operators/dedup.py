@@ -327,10 +327,6 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         .withColumn("label", F.col("node"))
     )
     converged = False
-    # decimal(38,0) sum: node ids may be 60-bit hashes, and an int64
-    # sum of those overflows (ANSI mode would throw mid-algorithm)
-    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             labels.join(edges, labels.node == edges.src)
@@ -339,24 +335,30 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
         )
         hop = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("prev"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
         )
         # pointer jump (path halving): label <- label of my label.
         # Turns O(diameter) convergence into O(log diameter).
         ptr = hop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
-        new_labels = (
+        stepped = (
             hop.join(ptr, hop.label == ptr.p_node, "left")
             .select(
                 "node",
+                "prev",
                 F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
             )
         ).localCheckpoint(eager=True)
-        cur_sum = new_labels.agg(label_sum).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
+        # convergence = no label moved this round.  The previous label
+        # rides along in the SAME row, so this is a filtered count on
+        # the checkpointed result — no second join, and it works for
+        # ANY orderable id type (string urls included; a numeric
+        # label-sum check would crash or overflow there).
+        changed = stepped.filter(F.col("label") != F.col("prev")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # with pointer jumping the reach doubles per round, so this
         # fires only for components of diameter > ~2^CC_MAX_ITERS —
