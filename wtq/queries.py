@@ -160,15 +160,20 @@ WHERE rn = 1
 
 
 def q_customers_without_orders(spark, sf_dir):
-    """J7 left-anti (proccess_data.sql:482-488)."""
+    """J7 left-anti (proccess_data.sql:482-488).  Anti-joined against
+    the URGENT-priority subset: every customer in the fixture has SOME
+    order, so the unfiltered anti-join was vacuously empty — this form
+    returns real rows while exercising the same plan (LeftAnti,
+    asserted in tests/test_plan_shapes.py)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 
