@@ -104,7 +104,7 @@ def main() -> None:
         "top_words",
         "spatial_radius_join",
         "tfidf_top_terms",
-        "image_features",
+        "media_features",
     ]
     q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
     for name in headline:

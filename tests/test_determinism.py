@@ -26,7 +26,7 @@ QUERIES_TO_CHECK = [
     "event_json_stats",      # double avg over JSON-extracted values
     "intersect_except",      # decimal sum feeding a membership threshold
     "priority_case_ladder",  # decimal-domain mean
-    "image_features",        # mapInPandas feature extraction
+    "media_features",        # mapInPandas feature extraction
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -381,6 +381,90 @@ def sql_image_features(table: str, id_col: str = "doc_id") -> str:
     """
 
 
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("small_px0_r", T.DoubleType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sampled_mean_r", T.DoubleType()),
+    ]
+)
+
+
+def media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """All three real-codec decode paths (P6 PPM image, RIFF/PCM16 WAV
+    audio, multi-frame PPM video stream) in ONE mapInPandas pass — one
+    Python worker round-trip per batch instead of three, one wide row
+    per document.  Consolidates the former image_features /
+    audio_features / video_features registry demos (50-entry driver
+    cap); the per-modality operators remain the public API and are
+    pytest-gated against the same closed-form oracles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                # image
+                img = decode_ppm(encode_ppm(synth_image(doc_id)))
+                h, w, _ = img.shape
+                means = img.astype(np.float64).mean(axis=(0, 1))
+                small = block_mean_resize(img)
+                # audio
+                s, rate = decode_wav(encode_wav(synth_audio(doc_id)))
+                v = s.astype(np.int64)
+                sum_sq = int((v * v).sum())
+                zc = int(((v[:-1] * v[1:]) < 0).sum())
+                # video
+                frames = list(iter_video_frames(encode_video(synth_video(doc_id))))
+                sampled = frames[::FRAME_STEP]
+                mean_fr = float(
+                    np.mean([f[:, :, 0].astype(np.float64).mean() for f in sampled])
+                )
+                rows.append(
+                    (
+                        doc_id, w, h,
+                        round(float(means[0]), 6),
+                        round(float(means[1]), 6),
+                        round(float(means[2]), 6),
+                        round(float(small[0, 0, 0]), 6),
+                        len(s),
+                        len(s) * 1000 // rate,
+                        round(float(np.sqrt(sum_sq / float(len(s)))), 6),
+                        zc,
+                        len(frames),
+                        round(mean_fr, 6),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
+
+    return df.select(F.col(id_col)).mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def sql_media_features(table: str, id_col: str = "doc_id") -> str:
+    """Joined closed-form oracle: each modality's features re-derived
+    independently from the synthetic formulas (never from the bytes),
+    joined on doc_id — a decoder bug in ANY path cannot self-confirm."""
+    return f"""
+    WITH img AS ({sql_image_features(table, id_col)}),
+         aud AS ({sql_audio_features(table, id_col)}),
+         vid AS ({sql_video_features(table, id_col)})
+    SELECT img.doc_id, img.width, img.height, img.mean_r, img.mean_g, img.mean_b,
+           img.small_px0_r, aud.n_samples, aud.duration_ms, aud.rms,
+           aud.zero_crossings, vid.n_frames, vid.sampled_mean_r
+    FROM img JOIN aud USING (doc_id) JOIN vid USING (doc_id)
+    """
+
+
 def _fake_embed(blob: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-content feature vector."""
     h = hashlib.sha256(blob).digest()

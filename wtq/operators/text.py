@@ -86,6 +86,29 @@ def lang_markers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def text_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counts + composite quality score + content fingerprint in
+    ONE scan/projection — the columns a curation run actually wants
+    side by side per document.  Consolidates the former token_counts /
+    quality_score / fingerprints registry demos (50-entry driver cap);
+    the standalone operators remain the public API."""
+    t = F.col(text_col)
+    s = _stat_cols(t)
+    score = (
+        s["stopword_frac"] * 0.5
+        + (F.lit(1.0) - F.least(s["symbol_frac"], F.lit(1.0))) * 0.3
+        + (F.lit(1.0) - F.least(F.abs(s["mean_word_len"] - 5.0) / 5.0, F.lit(1.0))) * 0.2
+    )
+    norm = F.array_join(words_arr(F.lower(t)), " ")
+    return df.select(
+        F.col(id_col),
+        s["n_words"].alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
+        F.round(score, 6).alias("quality_score"),
+        F.md5(F.encode(norm, "UTF-8")).alias("fp"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic content fingerprint (md5 of lowercase
     whitespace-normalized text)."""
@@ -150,6 +173,25 @@ def sql_lang_markers(table: str, id_col: str, text_col: str) -> str:
     return f"""
     SELECT {id_col}, {', '.join('c_' + l for l in _MARKER_LANGS)}, {case} AS pred_lang
     FROM (SELECT {id_col}, {inner_cols} FROM {table})
+    """
+
+
+def sql_text_metrics(table: str, id_col: str, text_col: str) -> str:
+    s = _sql_stats(text_col)
+    mean = f"coalesce({s['mean_word_len']}, 0.0)"
+    score = (
+        f"{s['stopword_frac']} * 0.5"
+        f" + (1.0 - least({s['symbol_frac']}, 1.0)) * 0.3"
+        f" + (1.0 - least(abs({mean} - 5.0) / 5.0, 1.0)) * 0.2"
+    )
+    w_norm = _sql_words(f"lower({text_col})")
+    return f"""
+    SELECT {id_col},
+           CAST({s['n_words']} AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}')) AS INT) AS bpe_tokens,
+           round({score}, 6) AS quality_score,
+           md5(array_to_string({w_norm}, ' ')) AS fp
+    FROM {table}
     """
 
 

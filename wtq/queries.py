@@ -550,71 +550,56 @@ def _doc_words(t):
     return F.filter(F.split(t, " "), lambda w: w != "")
 
 
-def q_rule_word_bounds(spark, sf_dir):
+def q_rule_metrics(spark, sf_dir):
+    """The three per-document scalar quality rules (word-count bounds,
+    stopword density, mean word length — the Gopher/C4 rule family) in
+    ONE scan: each rule's metric plus its fired flag.  Consolidates the
+    former rule_word_bounds / rule_stopword_density / rule_mean_word_len
+    demos — same expressions, one projection, one driver row instead of
+    three (the 50-entry driver registry cap).  rule_top_word stays
+    separate: it is a different physical shape (explode + two-level
+    agg), not a scalar projection."""
     d = _t(spark, sf_dir, "documents")
-    n = F.size(_doc_words(F.col("text")))
+    words = _doc_words(F.col("text"))
+    n = F.size(words)
+    nw = F.greatest(n, F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    stop_frac = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    ).cast("double") / nw
+    mean = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
+        "double"
+    ) / nw
     return d.select(
         "doc_id",
         n.alias("n_words"),
-        ((n < R.MIN_WORDS) | (n > R.MAX_WORDS)).alias("fired"),
+        ((n < R.MIN_WORDS) | (n > R.MAX_WORDS)).alias("bounds_fired"),
+        F.round(stop_frac, 6).alias("stopword_frac"),
+        (stop_frac < R.STOPWORD_FRAC_MIN).alias("stop_fired"),
+        F.round(mean, 6).alias("mean_word_len"),
+        ((mean < R.MIN_MEAN_WORD_LEN) | (mean > R.MAX_MEAN_WORD_LEN)).alias("len_fired"),
     )
 
 
-SQL_RULE_WORD_BOUNDS = f"""
-SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words,
-       (len(list_filter(string_split(text, ' '), x -> x <> '')) < {R.MIN_WORDS}
-        OR len(list_filter(string_split(text, ' '), x -> x <> '')) > {R.MAX_WORDS}) AS fired
-FROM documents
-"""
-
-
-def q_rule_stopword_density(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    words = _doc_words(F.col("text"))
-    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
-    frac = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))).cast(
-        "double"
-    ) / F.greatest(F.size(words), F.lit(1))
-    return d.select(
-        "doc_id", F.round(frac, 6).alias("stopword_frac"), (frac < R.STOPWORD_FRAC_MIN).alias("fired")
-    )
-
-
-SQL_RULE_STOPWORD_DENSITY = f"""
+SQL_RULE_METRICS = f"""
 WITH s AS (
   SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
          CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
                               x -> list_contains([{_STOP_SQL}], lower(x)))) AS DOUBLE)
-         / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS frac
-  FROM documents
-)
-SELECT doc_id, round(frac, 6) AS stopword_frac, frac < {R.STOPWORD_FRAC_MIN} AS fired FROM s
-"""
-
-
-def q_rule_mean_word_len(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    words = _doc_words(F.col("text"))
-    mean = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
-        "double"
-    ) / F.greatest(F.size(words), F.lit(1))
-    return d.select(
-        "doc_id",
-        F.round(mean, 6).alias("mean_word_len"),
-        ((mean < R.MIN_MEAN_WORD_LEN) | (mean > R.MAX_MEAN_WORD_LEN)).alias("fired"),
-    )
-
-
-SQL_RULE_MEAN_WORD_LEN = f"""
-WITH s AS (
-  SELECT doc_id,
+           / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS frac,
          CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
                                                x -> length(x))), 0) AS DOUBLE)
-         / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS mean
+           / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS mean
   FROM documents
 )
-SELECT doc_id, round(mean, 6) AS mean_word_len,
-       (mean < {R.MIN_MEAN_WORD_LEN} OR mean > {R.MAX_MEAN_WORD_LEN}) AS fired
+SELECT doc_id,
+       CAST(n AS INT) AS n_words,
+       (n < {R.MIN_WORDS} OR n > {R.MAX_WORDS}) AS bounds_fired,
+       round(frac, 6) AS stopword_frac,
+       frac < {R.STOPWORD_FRAC_MIN} AS stop_fired,
+       round(mean, 6) AS mean_word_len,
+       (mean < {R.MIN_MEAN_WORD_LEN} OR mean > {R.MAX_MEAN_WORD_LEN}) AS len_fired
 FROM s
 """
 
@@ -696,20 +681,15 @@ FROM s
 # Text analysis / dedup / similarity operators
 # ---------------------------------------------------------------------------
 
-def q_token_counts(spark, sf_dir):
-    return X.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def q_quality_score(spark, sf_dir):
-    return X.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+def q_text_metrics(spark, sf_dir):
+    """Token counts (whitespace + BPE-ish regex) + composite quality
+    score + md5 content fingerprint in one scan — consolidates the
+    former token_counts / quality_score / fingerprints driver rows."""
+    return X.text_metrics(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_lang_markers(spark, sf_dir):
     return X.lang_markers(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def q_fingerprints(spark, sf_dir):
-    return X.fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1136,32 +1116,18 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal_features(_t(spark, sf_dir, "documents"))
 
 
-def q_image_features(spark, sf_dir):
-    """REAL image decode path: PPM encode → byte-level decode →
-    block-mean resize → channel stats inside one mapInPandas pass; the
-    oracle re-derives every feature in closed form from the synthetic
-    pixel formula (a decoder bug cannot self-confirm)."""
-    from wtq.operators.multimodal import image_features
+def q_media_features(spark, sf_dir):
+    """ALL THREE real decode paths in one mapInPandas pass — image
+    (binary P6 PPM byte-level decode + block-mean resize + channel
+    stats), audio (RIFF/PCM16 chunk-walk decode + RMS/zero-crossings),
+    and video (multi-frame PPM stream walk, every-3rd-frame sampling).
+    The oracle re-derives every feature in closed form from the
+    synthetic formulas and joins the three modalities on doc_id, so a
+    decoder bug in any path cannot self-confirm.  Consolidates the
+    former image_features / audio_features / video_features rows."""
+    from wtq.operators.multimodal import media_features
 
-    return image_features(_t(spark, sf_dir, "documents"))
-
-
-def q_audio_features(spark, sf_dir):
-    """REAL audio decode path: RIFF/PCM16 WAV encode → chunk-walking
-    decode → RMS/zero-crossing features; closed-form SQL oracle with
-    integer-only sums (no float-order divergence possible)."""
-    from wtq.operators.multimodal import audio_features
-
-    return audio_features(_t(spark, sf_dir, "documents"))
-
-
-def q_video_features(spark, sf_dir):
-    """Video frame-sampling analog: walk a multi-frame PPM stream
-    (frame lengths parsed from each header), decode every 3rd frame,
-    mean the sampled R channel; closed-form oracle."""
-    from wtq.operators.multimodal import video_features
-
-    return video_features(_t(spark, sf_dir, "documents"))
+    return media_features(_t(spark, sf_dir, "documents"))
 
 
 def q_stream_windowed_counts(spark, sf_dir):
@@ -1207,15 +1173,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_case_ladder": q_priority_case_ladder,
     "nation_segments": q_nation_segments,
     "top_words": q_top_words,
-    "rule_word_bounds": q_rule_word_bounds,
-    "rule_stopword_density": q_rule_stopword_density,
-    "rule_mean_word_len": q_rule_mean_word_len,
+    "rule_metrics": q_rule_metrics,
     "rule_top_word": q_rule_top_word,
     "doc_decisions": q_doc_decisions,
-    "token_counts": q_token_counts,
-    "quality_score": q_quality_score,
+    "text_metrics": q_text_metrics,
     "lang_markers": q_lang_markers,
-    "fingerprints": q_fingerprints,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1243,9 +1205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split_counts": q_dataset_split_counts,
     "profile_orders": q_profile_orders,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "image_features": q_image_features,
-    "audio_features": q_audio_features,
-    "video_features": q_video_features,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1266,15 +1226,11 @@ ORACLE_SQL: dict[str, str] = {
     "priority_case_ladder": SQL_PRIORITY_CASE_LADDER,
     "nation_segments": SQL_NATION_SEGMENTS,
     "top_words": SQL_TOP_WORDS,
-    "rule_word_bounds": SQL_RULE_WORD_BOUNDS,
-    "rule_stopword_density": SQL_RULE_STOPWORD_DENSITY,
-    "rule_mean_word_len": SQL_RULE_MEAN_WORD_LEN,
+    "rule_metrics": SQL_RULE_METRICS,
     "rule_top_word": SQL_RULE_TOP_WORD,
     "doc_decisions": SQL_DOC_DECISIONS,
-    "token_counts": X.sql_token_counts("documents", "doc_id", "text"),
-    "quality_score": X.sql_quality_score("documents", "doc_id", "text"),
+    "text_metrics": X.sql_text_metrics("documents", "doc_id", "text"),
     "lang_markers": X.sql_lang_markers("documents", "doc_id", "text"),
-    "fingerprints": X.sql_fingerprints("documents", "doc_id", "text"),
     "dedup_exact": D.sql_exact_duplicates("documents", "doc_id", "text"),
     "dedup_minhash_lsh": D.sql_minhash_lsh_pairs("documents", "doc_id", "text"),
     "dedup_ngram_jaccard": D.sql_ngram_jaccard_pairs("documents", "doc_id", "text"),
@@ -1309,14 +1265,9 @@ from wtq.streaming.ingest import SQL_WINDOWED_EVENT_COUNTS as _sql_stream  # noq
 
 ORACLE_SQL["multimodal_features"] = _sql_mm("documents", "doc_id", "text")
 
-from wtq.operators.multimodal import sql_audio_features as _sql_aud  # noqa: E402
-from wtq.operators.multimodal import sql_image_features as _sql_img  # noqa: E402
+from wtq.operators.multimodal import sql_media_features as _sql_media  # noqa: E402
 
-from wtq.operators.multimodal import sql_video_features as _sql_vid  # noqa: E402
-
-ORACLE_SQL["image_features"] = _sql_img("documents")
-ORACLE_SQL["audio_features"] = _sql_aud("documents")
-ORACLE_SQL["video_features"] = _sql_vid("documents")
+ORACLE_SQL["media_features"] = _sql_media("documents")
 ORACLE_SQL["stream_windowed_counts"] = _sql_stream
 
 from wtq.streaming.ingest import SQL_STREAM_DEDUP_JOIN_COUNTS as _sql_sdedup  # noqa: E402
