@@ -150,17 +150,19 @@ def test_video_stream_frame_walk():
 
 def test_signature_batches_edge_inputs():
     """Sentinel contracts for degenerate docs: empty/short texts get
-    the sentinel minhash signature and simhash 0 (excluded from
-    pairing), None is tolerated, and both batches are deterministic."""
+    the sentinel minhash signature and a NULL simhash (out-of-band —
+    a real all-votes-≤0 document can legitimately hash to 0, so 0 is
+    NOT the sentinel), None is tolerated, and both batches are
+    deterministic."""
     from wtq.operators.dedup import MINHASH_P, N_PERM, _sig_batch, _simhash_batch
 
     texts = ["", "one two", None, "one two three four five", "  ", "one two three"]
     sigs = _sig_batch(texts)
     sims = _simhash_batch(texts)
-    assert sigs[0] == [MINHASH_P] * N_PERM and sims[0] == 0
-    assert sigs[1] == [MINHASH_P] * N_PERM and sims[1] == 0  # < k words
-    assert sigs[2] == [MINHASH_P] * N_PERM and sims[2] == 0  # None
-    assert sigs[3] != [MINHASH_P] * N_PERM and sims[3] != 0
+    assert sigs[0] == [MINHASH_P] * N_PERM and sims[0] is None
+    assert sigs[1] == [MINHASH_P] * N_PERM and sims[1] is None  # < k words
+    assert sigs[2] == [MINHASH_P] * N_PERM and sims[2] is None  # None
+    assert sigs[3] != [MINHASH_P] * N_PERM and sims[3] is not None
     assert sigs == _sig_batch(texts) and sims == _simhash_batch(texts)
-    # one-shingle doc: signature defined, nonzero
-    assert sims[5] != 0 and max(sigs[5]) < MINHASH_P
+    # one-shingle doc: signature defined, non-null
+    assert sims[5] is not None and max(sigs[5]) < MINHASH_P

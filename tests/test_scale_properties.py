@@ -239,3 +239,62 @@ def test_connected_components_string_ids(spark):
     )
     cc = {r.node: r.cluster for r in connected_components(pairs).collect()}
     assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_duplicate_flood_bounded_buckets_and_expanded_clusters(spark):
+    """10³ byte-identical docs (viral boilerplate) must NOT form a
+    corpus-sized LSH bucket: dedup_resolution collapses them to ONE
+    representative per exact fingerprint before banding (bucket size
+    in rep space = 1), then re-expands the members into the cluster.
+    Also pins the cap itself and the sentinel-group inclusion."""
+    from wtq.operators.dedup import LSH_BUCKET_CAP, dedup_clusters, lsh_bucket_stats
+
+    flood = [(i, "the same viral boilerplate page body repeated everywhere") for i in range(1000)]
+    near = [
+        (2000, "a genuinely different document about distributed query engines and shuffles"),
+        (2001, "a genuinely different document about distributed query engines and exchanges"),
+    ]
+    shorties = [(3000, "too short"), (3001, "too short")]  # < k words, byte-identical
+    df = spark.createDataFrame(flood + near + shorties, "doc_id long, text string")
+
+    clusters = {r.cluster: r for r in dedup_clusters(df, "doc_id", "text").collect()}
+    # the flood is ONE cluster with all 1000 members, rep = min id
+    assert clusters[0].n_docs == 1000
+    assert clusters[0].members.split(",")[0] == "0"
+    # near-dup pair still found in rep space
+    assert clusters[2000].n_docs == 2
+    # byte-identical sentinel docs (< k words) cluster via fingerprint
+    assert clusters[3000].n_docs == 2
+
+    # rep space: one doc per fingerprint -> every bucket has exactly 1
+    # member and the stats audit shows nothing over the cap
+    reps = df.dropDuplicates(["text"])
+    stats = lsh_bucket_stats(reps, "doc_id", "text").collect()
+    assert max(r.bucket_size for r in stats) <= 2  # the near-dup pair shares buckets
+    assert not any(r.over_cap for r in stats)
+
+    # the drop contract for buckets exceeding the cap is pinned in
+    # test_lsh_bucket_cap_drops_oversized_bucket below
+    assert LSH_BUCKET_CAP >= 1000
+
+
+def test_lsh_bucket_cap_drops_oversized_bucket(spark, monkeypatch):
+    """With the cap forced tiny, an over-cap bucket is dropped (no
+    quadratic pair expansion) while normal-sized buckets still pair."""
+    import wtq.operators.dedup as D
+
+    monkeypatch.setattr(D, "LSH_BUCKET_CAP", 5)
+    flood = [(i, "the same viral boilerplate page body repeated everywhere") for i in range(50)]
+    near = [
+        (2000, "a genuinely different document about distributed query engines and shuffles"),
+        (2001, "a genuinely different document about distributed query engines and exchanges"),
+    ]
+    df = spark.createDataFrame(flood + near, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    docs_in_pairs = {r.doc1 for r in pairs} | {r.doc2 for r in pairs}
+    # the 50-doc flood bucket (size 50 > 5) was dropped entirely...
+    assert docs_in_pairs == {2000, 2001}
+    # ...but dedup_resolution still recovers the flood as ONE cluster,
+    # because exact-dedup-first collapsed it below the cap
+    cc = {r.cluster for r in D.dedup_resolution(df, "doc_id", "text").collect()}
+    assert cc == {0, 2000}

@@ -168,20 +168,10 @@ def minhash_signatures(
     return base.select(F.col(id_col), _sig_udf(F.col(text_col)).alias("sig"))
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Candidate near-duplicate pairs via banding: docs sharing ALL row
-    minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
-    doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244)."""
-    # NOTE: do NOT filter on the signature column here — a filter
-    # referencing the UDF output gets pushed below the repartition and
-    # Catalyst materializes a SECOND ArrowEvalPython over the unsplit
-    # scan (measured: the whole signature pass re-ran serially).
-    # Shingle-less docs are dropped at the bucket level instead, where
-    # the Generate node blocks pushdown.
-    sig = minhash_signatures(df, id_col, text_col)
-    # band buckets straight from the signature array — still narrow;
-    # the ONLY shuffle in the whole operator is the bucket equi-join
-    band_strs = F.transform(
+def _band_strs() -> Column:
+    """Band-bucket strings derived from the `sig` array column — one
+    "band:min1,min2" key per band, built narrow (no shuffle)."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
         lambda b: F.concat_ws(
             ":",
@@ -195,6 +185,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ),
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs via banding: docs sharing ALL row
+    minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
+    doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244)."""
+    # NOTE: do NOT filter on the signature column here — a filter
+    # referencing the UDF output gets pushed below the repartition and
+    # Catalyst materializes a SECOND ArrowEvalPython over the unsplit
+    # scan (measured: the whole signature pass re-ran serially).
+    # Shingle-less docs are dropped at the bucket level instead, where
+    # the Generate node blocks pushdown.
+    sig = minhash_signatures(df, id_col, text_col)
+    # band buckets straight from the signature array — still narrow;
+    # the ONLY shuffle in the whole operator is the bucket equi-join
+    band_strs = _band_strs()
     # sentinel docs (no shingles) carry minvals == P in every slot; real
     # minvals are always < P, so their buckets are exactly ":P,…,P" —
     # dropping those buckets removes them from pairing entirely (the
@@ -208,13 +214,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # subtree, so the signature UDF would run TWICE (measured 2× the
     # operator's wall time).  This is the Spark analog of the
     # reference's materialize-the-CTE-before-self-join fix
-    # (proccess_data.sql:450-467).  Bucket membership lists are bounded
-    # by expected bucket size (uniform hash keys), so the collect_list
-    # is small; pair volume within a bucket is identical to the join's.
+    # (proccess_data.sql:450-467).
+    #
+    # Bucket-size bound: uniform hashing bounds EXPECTED bucket size,
+    # but identical/near-identical documents share every band value by
+    # construction, so a duplicate-saturated corpus would collapse a
+    # whole duplicate family into one collect_list row (single-task
+    # hotspot, 2 GB-row hazard).  Two defenses: (a) the cluster-level
+    # consumers (dedup_resolution/dedup_clusters/dedup_apply) run
+    # EXACT-DEDUP-FIRST and feed this operator one representative per
+    # exact fingerprint, so byte-identical floods never reach a bucket;
+    # (b) LSH_BUCKET_CAP drops residual oversized buckets (near-but-
+    # not-exact boilerplate floods) rather than quadratically exploding
+    # — the n-gram path's NGRAM_DF_CAP discipline.  Dropped buckets are
+    # observable via lsh_bucket_stats.
     grouped = (
         buckets.groupBy("bucket")
         .agg(F.collect_list("doc").alias("docs"))
-        .filter(F.size("docs") >= 2)
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= LSH_BUCKET_CAP))
     )
     pairs = (
         grouped.select(F.explode("docs").alias("doc"), F.col("docs"))
@@ -224,6 +241,35 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_bands"))
     )
     return pairs
+
+
+# Max docs per LSH bucket before the bucket is dropped instead of
+# pair-expanded.  A bucket only exceeds this when MANY near-identical
+# documents share a band value; the exact-dedup-first discipline in
+# dedup_resolution already collapses byte-identical floods, so an
+# overflow here means a near-but-not-exact boilerplate flood — whose
+# C(n,2) pair expansion is exactly what must not run.  Cap² bounds the
+# worst-case per-bucket pair volume (~500k pairs at 1000).
+LSH_BUCKET_CAP = 1000
+
+
+def lsh_bucket_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bucket-occupancy audit for minhash LSH: one row per bucket size
+    with the number of buckets that size and whether they exceed
+    LSH_BUCKET_CAP — the observability hook for the cap's drop path."""
+    sig = minhash_signatures(df, id_col, text_col)
+    band_strs = _band_strs()
+    sentinel_bucket = ":" + ",".join([str(MINHASH_P)] * LSH_ROWS)
+    buckets = sig.select(
+        F.col(id_col).alias("doc"), F.explode(band_strs).alias("bucket")
+    ).filter(~F.col("bucket").endswith(sentinel_bucket))
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .withColumn("over_cap", F.col("bucket_size") > LSH_BUCKET_CAP)
+    )
 
 
 NGRAM_DF_CAP = 50  # shingles in more docs than this are boilerplate
@@ -338,6 +384,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
             F.col("label").alias("prev"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
         )
+        # hop feeds BOTH sides of the pointer-jump join below; without
+        # truncation each round would execute the labels⋈edges join +
+        # neighbor-min aggregation twice (the same duplicated-subtree
+        # cost the bucket collect_list form eliminates)
+        hop = hop.localCheckpoint(eager=True)
         # pointer jump (path halving): label <- label of my label.
         # Turns O(diameter) convergence into O(log diameter).
         ptr = hop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
@@ -372,12 +423,58 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def dedup_resolution(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cluster assignment (node, cluster) with
+    EXACT-DEDUP-FIRST discipline: byte-identical documents are
+    collapsed to one representative per md5 fingerprint BEFORE the LSH
+    stage, so a corpus with 10⁵ identical boilerplate pages puts ONE
+    doc — not 10⁵ — into each band bucket (bounded collect_list,
+    linear not quadratic).  Exact-dup members are re-attached to their
+    representative's cluster afterwards.
+
+    Semantics: the same components as running LSH over the full corpus
+    PLUS an edge between every exact duplicate and its group minimum —
+    identical docs have identical signatures, so a rep-level LSH pair
+    exists iff any member-level pair would, and cluster = min member id
+    either way.  The one behavioral addition: byte-identical documents
+    too short to shingle (< k words, sentinel signature) now cluster
+    via their fingerprint — they ARE duplicates, and the pure-LSH form
+    silently missed them.  Output covers exactly the docs in a cluster
+    of ≥ 2 (pair-connected or fingerprint-connected)."""
+    docs = df.select(
+        F.col(id_col).alias("node"),
+        F.col(text_col).alias("__text"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fp"),
+    )
+    wfp = Window.partitionBy("fp")
+    docs = docs.select(
+        "node",
+        "__text",
+        F.min("node").over(wfp).alias("rep"),
+        F.count("*").over(wfp).alias("n_fp"),
+    )
+    # two consumers (reps + membership) below — truncate so the scan +
+    # fingerprint window runs once
+    docs = docs.localCheckpoint(eager=True)
+    reps = docs.filter(F.col("node") == F.col("rep")).select(
+        F.col("node").alias(id_col), F.col("__text").alias(text_col)
+    )
+    cc = connected_components(minhash_lsh_pairs(reps, id_col, text_col)).select(
+        F.col("node").alias("rep"), F.col("cluster").alias("cc_cluster")
+    )
+    return (
+        docs.join(cc, "rep", "left")
+        .filter(F.col("cc_cluster").isNotNull() | (F.col("n_fp") >= 2))
+        .select("node", F.coalesce("cc_cluster", "rep").alias("cluster"))
+    )
+
+
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Near-dup clusters over MinHash-LSH pairs: one row per cluster
     with its representative (min id), member count, and sorted member
-    list — the keep-one-representative contract of a dedup pass."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col)
-    cc = connected_components(pairs)
+    list — the keep-one-representative contract of a dedup pass.
+    Exact-dedup-first via dedup_resolution (see its docstring)."""
+    cc = dedup_resolution(df, id_col, text_col)
     return (
         cc.groupBy("cluster")
         .agg(
@@ -387,24 +484,42 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def sql_dedup_clusters(table: str, id_col: str, text_col: str) -> str:
-    """Recursive-CTE oracle: transitive closure of the pair graph, then
-    min reachable id per node.  Exponentially dumber than the Spark
-    label propagation — which is the point: an independent derivation."""
+def _sql_dedup_labels(table: str, id_col: str, text_col: str) -> str:
+    """Shared oracle CTE body: transitive closure of the FULL-corpus
+    pair graph UNION exact-fingerprint edges, then min reachable id per
+    node.  Exponentially dumber than the Spark exact-dedup-first +
+    label-propagation path — which is the point: an independent
+    derivation that proves the rep-first optimization preserves the
+    full-graph semantics (identical docs have identical signatures, so
+    the components coincide)."""
     pairs = sql_minhash_lsh_pairs(table, id_col, text_col)
-    return f"""
-    WITH RECURSIVE pairs AS ({pairs}),
+    return f"""pairs AS ({pairs}),
+    fp_groups AS (
+      SELECT {id_col} AS node,
+             min({id_col}) OVER (PARTITION BY md5({text_col})) AS rep,
+             count(*) OVER (PARTITION BY md5({text_col})) AS n_fp
+      FROM {table}
+    ),
     edges AS (
       SELECT doc1 AS src, doc2 AS dst FROM pairs
       UNION
       SELECT doc2, doc1 FROM pairs
+      UNION
+      SELECT node, rep FROM fp_groups WHERE n_fp >= 2
+      UNION
+      SELECT rep, node FROM fp_groups WHERE n_fp >= 2
     ),
     reach(node, root) AS (
       SELECT src, src FROM edges
       UNION
       SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
     ),
-    labels AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node)
+    labels AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node)"""
+
+
+def sql_dedup_clusters(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_dedup_labels(table, id_col, text_col)}
     SELECT cluster, count(*) AS n_docs,
            string_agg(CAST(node AS VARCHAR), ',' ORDER BY CAST(node AS VARCHAR)) AS members
     FROM labels GROUP BY cluster
@@ -418,7 +533,10 @@ def _simhash_batch(texts) -> list[int]:
     reduction minhash needs would zero bits 31-59 and collapse the top
     two LSH bands to constants, degenerating banding to all-pairs —
     measured on the sf0.01 corpus in round 1.)  Docs with < k words get
-    signature 0."""
+    a NULL signature — out-of-band, unlike 0, which a real ≥k-word
+    document whose 60 vote sums are all ≤ 0 can legitimately produce
+    (probability ~2⁻⁶⁰ on natural text, but the sentinel must not
+    collide at all)."""
     import numpy as np
 
     J = np.arange(SIMHASH_BITS, dtype=np.int64)
@@ -426,7 +544,7 @@ def _simhash_batch(texts) -> list[int]:
     for t in texts:
         words = [w for w in (t or "").split(" ") if w]
         if len(words) < SHINGLE_K:
-            out.append(0)
+            out.append(None)
             continue
         counts: dict[str, int] = {}
         for i in range(len(words) - SHINGLE_K + 1):
@@ -572,7 +690,7 @@ def sql_simhash(table: str, id_col: str, text_col: str) -> str:
       SELECT doc, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc
     )
-    SELECT t.{id_col} AS doc, coalesce(sig.simhash, 0) AS simhash
+    SELECT t.{id_col} AS doc, sig.simhash AS simhash
     FROM {table} t LEFT JOIN sig ON sig.doc = t.{id_col}
     """
 
@@ -608,12 +726,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sig = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), F.col("simhash")
     )
-    # signature 0 = "no shingles"; pairing those is meaningless — and
-    # they would ALL share chunk 0 in every band, turning one bucket
-    # into a corpus-sized collect_list.  The exclusion lives INSIDE
-    # the generator expression (explode(NULL) emits no rows): a plain
-    # filter on the UDF column would be pushed below the repartition
-    # and duplicate the whole Arrow pass (plan-shape test gates this).
+    # NULL signature = "no shingles" (out-of-band: a computable 0 is a
+    # legitimate, if ~2^-60-rare, signature); pairing sentinel docs is
+    # meaningless — and they would all share one bucket per band,
+    # turning it into a corpus-sized collect_list.  The exclusion
+    # lives INSIDE the generator expression (explode(NULL) emits no
+    # rows): a plain filter on the UDF column would be pushed below
+    # the repartition and duplicate the whole Arrow pass (plan-shape
+    # test gates this).
     band_array = F.array(*[
         F.struct(
             F.lit(j).alias("band"),
@@ -624,7 +744,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     chunks = sig.select(
         "doc",
         "simhash",
-        F.explode(F.when(F.col("simhash") != 0, band_array)).alias("bc"),
+        F.explode(F.when(F.col("simhash").isNotNull(), band_array)).alias("bc"),
     ).select("doc", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     # within-bucket pairs via one aggregation + double explode — a
     # bucket self-join would re-run the signature UDF subtree twice
@@ -656,7 +776,7 @@ def sql_simhash_near_pairs(table: str, id_col: str, text_col: str) -> str:
       SELECT doc, simhash, j AS band,
              (simhash >> (j * {SIMHASH_BAND_BITS})) & {2**SIMHASH_BAND_BITS - 1} AS chunk
       FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS j)
-      WHERE simhash <> 0
+      WHERE simhash IS NOT NULL
     )
     SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
