@@ -166,3 +166,46 @@ def test_signature_batches_edge_inputs():
     assert sigs == _sig_batch(texts) and sims == _simhash_batch(texts)
     # one-shingle doc: signature defined, non-null
     assert sims[5] is not None and max(sigs[5]) < MINHASH_P
+
+
+def test_image_quarantine_conservation(spark):
+    """Corrupt blobs land in quarantine with an error code; good rows
+    decode exactly as the direct path; nothing is lost or duplicated
+    (good + quarantined = input) and no task fails."""
+    import numpy as np
+
+    from wtq.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        image_features_safe,
+        quarantine_split,
+        synth_image,
+    )
+
+    good = {i: encode_ppm(synth_image(i)) for i in range(4)}
+    bad = {
+        10: b"",  # empty
+        11: b"JFIF garbage not a ppm at all",  # wrong magic
+        12: encode_ppm(synth_image(12))[:-50],  # truncated raster
+        13: b"P6\n16 16\n255\n",  # header only, no raster
+        14: b"P6\n999999999 999999999\n255\n\x00\x01",  # absurd dims
+    }
+    rows = [(i, b) for i, b in {**good, **bad}.items()]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    feats = image_features_safe(df)
+    ok, quar = quarantine_split(feats)
+    ok_rows = {r.doc_id: r for r in ok.collect()}
+    quar_rows = {r.doc_id: r for r in quar.collect()}
+    # conservation
+    assert set(ok_rows) == set(good) and set(quar_rows) == set(bad)
+    assert len(ok_rows) + len(quar_rows) == len(rows)
+    # good rows match the direct decode exactly
+    for i, blob in good.items():
+        img = decode_ppm(blob)
+        assert ok_rows[i].width == 16 and ok_rows[i].height == 16
+        assert ok_rows[i].mean_r == round(float(img[:, :, 0].astype(np.float64).mean()), 6)
+        assert ok_rows[i].err is None
+    # quarantined rows carry an error code and null features
+    for i in bad:
+        assert quar_rows[i].err and not quar_rows[i].ok
+        assert quar_rows[i].width is None and quar_rows[i].mean_r is None

@@ -381,6 +381,49 @@ def sql_image_features(table: str, id_col: str = "doc_id") -> str:
     """
 
 
+SAFE_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("err", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+    ]
+)
+
+
+def image_features_safe(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """Decode with a QUARANTINE path: a malformed blob (truncated
+    raster, garbage magic, corrupt header) produces an (ok=false, err)
+    row instead of failing the task — the err_all pattern applied to
+    decode errors.  At 100 TB a daily run WILL hit corrupt blobs; one
+    bad record must never kill a 10-hour job.  Conservation contract:
+    every input row appears exactly once (good + quarantined = input),
+    pinned by tests/test_rules_unit.py."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                doc_id = int(doc_id)
+                try:
+                    img = decode_ppm(bytes(blob))
+                    h, w, _ = img.shape
+                    mean_r = round(float(img[:, :, 0].astype(np.float64).mean()), 6)
+                    rows.append((doc_id, True, None, w, h, mean_r))
+                except Exception as e:  # noqa: BLE001 — quarantine, never crash the task
+                    rows.append((doc_id, False, f"{type(e).__name__}: {e}"[:200], None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in SAFE_IMAGE_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(run, SAFE_IMAGE_SCHEMA)
+
+
+def quarantine_split(features: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) from a *_safe feature frame."""
+    return features.filter(F.col("ok")), features.filter(~F.col("ok"))
+
+
 MEDIA_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -219,31 +219,118 @@ def sql_embedding_dup_pairs(table: str) -> str:
     """
 
 
-def ivf_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+IVF_ITERS = 2
+# Fixed-point scale for centroid means: 2^20.  float32 → double is
+# exact and ×2^20 only shifts the exponent, so floor(v·2^20) is the
+# same integer in any engine; summing BIGINTs is order-free, so the
+# centroid mean is bit-identical across Spark and DuckDB — an
+# IEEE-double sum would depend on reduction order and never match.
+IVF_SCALE = 1 << 20
+
+
+def kmeans_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = IVF_CELLS, iters: int = IVF_ITERS,
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = the first IVF_CELLS vectors as
-    centroids; every vector is assigned to its nearest centroid (argmax
-    cosine, tie-break lowest centroid id); queries probe only their own
-    cell.  Assignment is a broadcast join against the tiny centroid
-    set; the search is an equi-join on cell id — the J9
-    candidate-generation pattern with a learned-ish coarse key."""
-    cents = emb.filter(F.col(id_col) < IVF_CELLS).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    """Deterministic seeded k-means (Lloyd's, `iters` rounds) →
+    (c_idx, c_vec array<double>).  Replaces round 2's fake quantizer
+    (centroids = first k vectors by id — arbitrary cell occupancy,
+    flagged in the round-2 verdict).
+
+    Determinism contract (cross-engine, cluster-size-independent):
+      * init = the k vectors with the smallest md5(id) — a hash-ranked
+        sample, executed as a distributed top-k (TakeOrderedAndProject),
+        never a global sort;
+      * assignment = argmax cosine, ties to the lowest centroid index;
+      * update = per-dimension mean in FIXED-POINT integers
+        (sum of floor(v·2^20) as BIGINT, then two double divisions in a
+        fixed order) — exact, order-free arithmetic that the DuckDB
+        oracle reproduces bit-for-bit; a float sum would be reduction-
+        order-dependent and cluster-size-dependent.
+    Cells that lose all members simply drop out (both engines agree).
+
+    Scale: per round = one broadcast join (k centroids) + one
+    posexplode to (cell, dim) keys + a 2-level agg (map-side partials;
+    k·dim groups).  No global sort, no driver collect."""
+    seed = (
+        emb.select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "sid")
+        .limit(k)
     )
+    wk = Window.orderBy("h", "sid")  # k rows only — tiny
+    cents = seed.withColumn("c_idx", F.row_number().over(wk)).select("c_idx", F.col("v").alias("c_vec"))
+    base = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec"))
+    for _ in range(iters):
+        w = Window.partitionBy("n_id").orderBy(F.col("c_cos").desc(), F.col("c_idx"))
+        assigned = (
+            base.join(F.broadcast(cents))
+            .withColumn("c_cos", cosine(F.col("n_vec"), F.col("c_vec")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_idx", "n_vec")
+        )
+        dims = assigned.select("c_idx", F.posexplode("n_vec").alias("pos", "val"))
+        agg = dims.groupBy("c_idx", "pos").agg(
+            F.sum(F.floor(F.col("val") * IVF_SCALE)).alias("s"),
+            F.count("*").alias("m"),
+        )
+        cents = (
+            agg.withColumn(
+                "ci", F.col("s").cast("double") / F.col("m") / F.lit(float(IVF_SCALE))
+            )
+            .groupBy("c_idx")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ci"))), lambda st: st["ci"]
+                ).alias("c_vec")
+            )
+        )
+    return cents
+
+
+IVF_NPROBE = 3
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 3, id_col: str = "vec_id",
+    vec_col: str = "embedding", nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = deterministic seeded k-means
+    (kmeans_centroids); every vector is assigned to its nearest
+    centroid (argmax cosine, tie-break lowest centroid index); queries
+    probe their `nprobe` nearest cells (multi-probe — single-probe
+    recall on near-uniform vectors is bounded by the cell-share of the
+    corpus).  Assignment is a broadcast join against the tiny centroid
+    set; the search is an equi-join on cell id — the J9
+    candidate-generation pattern with a LEARNED coarse key.  Each
+    neighbor lives in exactly one cell, so multi-probe candidates never
+    duplicate."""
+    cents = kmeans_centroids(emb, id_col, vec_col)
     assigned = (
-        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec"))
         .join(F.broadcast(cents))
         .withColumn("c_cos", cosine(F.col("n_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("n_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+    w = Window.partitionBy("n_id").orderBy(F.col("c_cos").desc(), F.col("c_idx"))
     cells = (
         assigned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("n_id", "n_vec", F.col("c_id").alias("cell"))
+        .select("n_id", "n_vec", F.col("c_idx").alias("cell"))
     )
-    q = queries.select(F.col(id_col).alias("q_id")).join(
-        cells.select(F.col("n_id").alias("q_id"), F.col("n_vec").alias("q_vec"), "cell"), "q_id"
+    q_assigned = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec"))
+        .join(F.broadcast(cents))
+        .withColumn("c_cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), F.col("c_idx"))
+    q = (
+        q_assigned.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_idx").alias("cell"))
     )
     scored = (
         cells.join(F.broadcast(q), "cell")
@@ -258,21 +345,63 @@ def ivf_topk(
     )
 
 
+def _sql_kmeans_ctes(table: str, k: int = IVF_CELLS, iters: int = IVF_ITERS) -> str:
+    """CTE chain computing the same deterministic k-means: hash-ranked
+    init, `iters` unrolled assign/update rounds with the identical
+    fixed-point integer mean.  Final centroids CTE is named `cents`
+    with columns (c_idx, c_vec DOUBLE[])."""
+    parts = [
+        f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS c_idx,
+             v AS c_vec
+      FROM emb
+      QUALIFY c_idx <= {k}
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        cos = _sql_cos("e.v", "c.c_vec")
+        parts.append(f"""a{i} AS (
+      SELECT c_idx, v FROM (
+        SELECT e.v, c.c_idx,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_idx) AS rn
+        FROM emb e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT c_idx, i,
+             CAST(sum(CAST(floor(v[i] * {IVF_SCALE}) AS BIGINT)) AS DOUBLE)
+               / count(*) / {IVF_SCALE} AS ci
+      FROM a{i} CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i)
+      GROUP BY c_idx, i
+    ),
+    c{i} AS (SELECT c_idx, list(ci ORDER BY i) AS c_vec FROM u{i} GROUP BY c_idx)""")
+        prev = f"c{i}"
+    parts.append(f"cents AS (SELECT c_idx, c_vec FROM {prev})")
+    return ",\n    ".join(parts)
+
+
 def sql_ivf_topk(table: str, n_queries: int = 5, k: int = 3) -> str:
     return f"""
-    WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM {table} WHERE vec_id < {IVF_CELLS}),
+    WITH {_sql_kmeans_ctes(table)},
     assigned AS (
-      SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.c_id,
-             {_sql_cos('e.embedding', 'c.c_vec')} AS c_cos
-      FROM {table} e CROSS JOIN cents c
+      SELECT e.vec_id AS n_id, e.v AS n_vec, c.c_idx,
+             {_sql_cos('e.v', 'c.c_vec')} AS c_cos
+      FROM emb e CROSS JOIN cents c
     ),
     cells AS (
-      SELECT n_id, n_vec, c_id AS cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_cos DESC, c_id) AS rn
+      SELECT n_id, n_vec, c_idx AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY n_id ORDER BY c_cos DESC, c_idx) AS rn
         FROM assigned
       ) WHERE rn = 1
     ),
-    q AS (SELECT n_id AS q_id, n_vec AS q_vec, cell FROM cells WHERE n_id < {n_queries}),
+    q AS (
+      SELECT n_id AS q_id, n_vec AS q_vec, c_idx AS cell FROM (
+        SELECT a.*, row_number() OVER (PARTITION BY n_id ORDER BY c_cos DESC, c_idx) AS rn
+        FROM assigned a WHERE n_id < {n_queries}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
     scored AS (
       SELECT q.q_id, c.n_id, {_sql_cos('q.q_vec', 'c.n_vec')} AS cos
       FROM cells c JOIN q USING (cell)
