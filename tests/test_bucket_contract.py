@@ -119,3 +119,33 @@ def test_real_iceberg_bucket_transform_if_available(spark, pages_path):
         F.bucket(8, F.col("url"))
     ).create()
     assert spark.table("local.wtq_pages_bucketed").count() == pages.count()
+
+
+def test_bucketed_pages_pipeline_zero_exchange(spark, pages_path):
+    """SCALE.md / pipeline.py claim: 'at cluster scale the bucketed
+    Iceberg table removes the exchange entirely'.  Executed evidence
+    with Spark's own bucketing: write pages bucketed by url, run the
+    FULL decide() pipeline over it (dedup window included, no salted
+    repartition — the storage layout already clusters by url), and the
+    plan holds ZERO Exchange nodes end-to-end."""
+    import shutil
+
+    from wtq.pipeline import decide
+    from wtq.plans.audit import plan_string
+
+    spark.sql("DROP TABLE IF EXISTS b_pages")
+    shutil.rmtree("spark-warehouse/b_pages", ignore_errors=True)
+    (
+        spark.read.parquet(pages_path)
+        .write.bucketBy(16, "url")
+        .sortBy("url")
+        .format("parquet")
+        .saveAsTable("b_pages")
+    )
+    bp = spark.table("b_pages")
+    df = decide(bp, num_partitions=None)
+    plan = plan_string(df, mode="simple")
+    assert "Exchange" not in plan, plan[:3000]
+    # the pipeline still computes: same row count as the parquet path
+    direct = decide(spark.read.parquet(pages_path), num_partitions=8)
+    assert df.count() == direct.count() > 0
