@@ -55,8 +55,22 @@ for _ in range(3):  # best-of-3: the sandbox VM has noisy neighbors
     best = dt if best is None or dt < best else best
 n = spark.read.parquet(f"{out}/decisions").count()
 shutil.rmtree(out, ignore_errors=True)
+# Heavy non-pipeline operator shapes (round-2 verdict item 9): the
+# iterative-join CC resolution and the explode-heavy tf-idf, so the
+# scaling story covers more than the narrow Arrow pass.
+ops = {}
+from wtq.queries import QUERIES
+for name in ("dedup_clusters", "tfidf_top_terms"):
+    QUERIES[name](spark, sf_dir).collect()  # warmup (codegen)
+    best_op = None
+    for _ in range(3):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        dt = time.time() - t0
+        best_op = dt if best_op is None or dt < best_op else best_op
+    ops[name] = round(best_op, 3)
 print(json.dumps({"cpus": cpus, "n_docs": n, "sec": round(best, 3),
-                  "docs_per_sec": round(n / best, 1)}))
+                  "docs_per_sec": round(n / best, 1), "ops_sec": ops}))
 spark.stop()
 """
 
@@ -117,10 +131,15 @@ def main() -> None:
     print("local[32]:", r32, file=sys.stderr)
     eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4.0
     eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    op_eff_2_8 = {
+        name: round((r2["ops_sec"][name] / r8["ops_sec"][name]) / 4.0, 3)
+        for name in r2.get("ops_sec", {})
+    }
     result = {
         "n2": r2, "n8": r8, "n32": r32,
         "efficiency_2_8": round(eff_2_8, 3),
         "efficiency_8_32": round(eff_8_32, 3),
+        "op_efficiency_2_8": op_eff_2_8,
         "hw_ceiling_2_8": round(ceil_2_8, 3),
         "hw_ceiling_8_32": round(ceil_8_32, 3),
     }
@@ -158,6 +177,19 @@ their OWN cores, so per-executor capacity is constant; on this VM the
 8→32 step shares SMT siblings and hypervisor-stolen cycles, and the
 burn shows the hardware itself cannot reach 0.8 there.  Both rows are
 reported so the original-criterion number stays visible.
+
+Heavy operator shapes at the same three levels (best-of-3 wall sec;
+2→8 efficiency = (t₂/t₈)/4):
+
+| operator | local[2] | local[8] | local[32] | 2→8 efficiency |
+|---|---|---|---|---|
+| dedup_clusters (LSH pairs + pointer-jump CC) | {r2['ops_sec']['dedup_clusters']} | {r8['ops_sec']['dedup_clusters']} | {r32['ops_sec']['dedup_clusters']} | {op_eff_2_8['dedup_clusters']:.3f} |
+| tfidf_top_terms (explode + broadcast DF + window top-k) | {r2['ops_sec']['tfidf_top_terms']} | {r8['ops_sec']['tfidf_top_terms']} | {r32['ops_sec']['tfidf_top_terms']} | {op_eff_2_8['tfidf_top_terms']:.3f} |
+
+Iterative/explode-heavy shapes carry fixed per-round JVM/driver costs
+(CC runs ~4 synchronous rounds with localCheckpoint barriers), so
+their local-mode efficiency reads below the pipeline's; the pipeline
+row is the north-rule metric.
 
 Pipeline measured end-to-end: parquet scan (html pruned) → salted
 murmur3(url) repartition → window re-crawl dedup (reuses the exchange)

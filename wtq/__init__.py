@@ -11,7 +11,7 @@ predicate (water.lua:224-241), and tag/content scrubbing
 pages ``(url, warc_ts, html, text, lang)``.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
@@ -28,15 +28,22 @@ def __getattr__(name):
         "ngram_jaccard_pairs": ("wtq.operators.dedup", "ngram_jaccard_pairs"),
         "connected_components": ("wtq.operators.dedup", "connected_components"),
         "dedup_clusters": ("wtq.operators.dedup", "dedup_clusters"),
+        "dedup_resolution": ("wtq.operators.dedup", "dedup_resolution"),
+        "lsh_bucket_stats": ("wtq.operators.dedup", "lsh_bucket_stats"),
         "brute_force_topk": ("wtq.operators.similarity", "brute_force_topk"),
         "lsh_top1": ("wtq.operators.similarity", "lsh_top1"),
         "ivf_topk": ("wtq.operators.similarity", "ivf_topk"),
+        "kmeans_centroids": ("wtq.operators.similarity", "kmeans_centroids"),
         "embedding_dup_pairs": ("wtq.operators.similarity", "embedding_dup_pairs"),
         "grid_radius_join": ("wtq.operators.spatial", "grid_radius_join"),
         "salted_join": ("wtq.operators.skew", "salted_join"),
         "asof_join_backward": ("wtq.operators.asof", "asof_join_backward"),
         "streaming_pipeline": ("wtq.streaming.ingest", "streaming_pipeline"),
         "compact_parquet": ("wtq.sources.files", "compact_parquet"),
+        "text_metrics": ("wtq.operators.text", "text_metrics"),
+        "media_features": ("wtq.operators.multimodal", "media_features"),
+        "image_features_safe": ("wtq.operators.multimodal", "image_features_safe"),
+        "quarantine_split": ("wtq.operators.multimodal", "quarantine_split"),
     }
     if name in _API:
         import importlib

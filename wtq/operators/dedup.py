@@ -446,24 +446,30 @@ def dedup_resolution(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(text_col).alias("__text"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fp"),
     )
-    wfp = Window.partitionBy("fp")
-    docs = docs.select(
-        "node",
-        "__text",
-        F.min("node").over(wfp).alias("rep"),
-        F.count("*").over(wfp).alias("n_fp"),
+    # Representative id AND text in ONE aggregation: min(struct(id,
+    # text)) orders by id first, so the group minimum carries its own
+    # text through the shuffle as an agg buffer — map-side partial min
+    # keeps at most one text per fingerprint per mapper (a duplicate
+    # flood dedupes before it ever shuffles), and no second join is
+    # needed to recover the representative's text.  A window over the
+    # full corpus would shuffle EVERY text byte; this shuffles at most
+    # the deduped corpus.
+    groups = docs.groupBy("fp").agg(
+        F.min(F.struct("node", "__text")).alias("m"),
+        F.count("*").alias("n_fp"),
     )
-    # two consumers (reps + membership) below — truncate so the scan +
-    # fingerprint window runs once
-    docs = docs.localCheckpoint(eager=True)
-    reps = docs.filter(F.col("node") == F.col("rep")).select(
-        F.col("node").alias(id_col), F.col("__text").alias(text_col)
-    )
+    # two consumers (reps + membership) — truncate so the scan +
+    # fingerprint agg runs once
+    groups = groups.localCheckpoint(eager=True)
+    reps = groups.select(F.col("m.node").alias(id_col), F.col("m.__text").alias(text_col))
     cc = connected_components(minhash_lsh_pairs(reps, id_col, text_col)).select(
         F.col("node").alias("rep"), F.col("cluster").alias("cc_cluster")
     )
+    membership = docs.select("node", "fp").join(
+        groups.select("fp", F.col("m.node").alias("rep"), "n_fp"), "fp"
+    )
     return (
-        docs.join(cc, "rep", "left")
+        membership.join(cc, "rep", "left")
         .filter(F.col("cc_cluster").isNotNull() | (F.col("n_fp") >= 2))
         .select("node", F.coalesce("cc_cluster", "rep").alias("cluster"))
     )
