@@ -105,6 +105,8 @@ def main() -> None:
         "spatial_radius_join",
         "tfidf_top_terms",
         "media_features",
+        "ann_ivf_topk",
+        "order_value_deciles",
     ]
     q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
     for name in headline:

@@ -117,3 +117,16 @@ def test_deciles_no_global_single_task_sort(spark):
     assert plan.count("InMemoryTableScan") >= 3
     # still correct: 10 deciles
     assert df.count() == 10
+
+
+def test_ivf_kmeans_broadcasts_centroids(spark):
+    """Every k-means round and the final cell assignment join against
+    the 8-row centroid set via BroadcastHashJoin — the big embedding
+    side never shuffles for assignment (2 rounds + final assign +
+    query assign ≥ 4 broadcast joins)."""
+    df = QUERIES["ann_ivf_topk"](spark, SF_DIR)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 4, plan[:2000]
+    # assignment never sort-merge-joins the embedding side on a
+    # non-broadcast centroid set
+    assert "SortMergeJoin" not in plan.split("Window")[0]

@@ -465,8 +465,23 @@ def dedup_resolution(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cc = connected_components(minhash_lsh_pairs(reps, id_col, text_col)).select(
         F.col("node").alias("rep"), F.col("cluster").alias("cc_cluster")
     )
-    membership = docs.select("node", "fp").join(
-        groups.select("fp", F.col("m.node").alias("rep"), "n_fp"), "fp"
+    # Re-expansion joins against ONLY the multi-member fingerprint
+    # groups: a singleton node IS its own representative, so it needs
+    # no mapping row.  The multi subset is duplicate-volume-sized (tiny
+    # on a mostly-unique corpus → AQE broadcasts it and the id stream
+    # never shuffles; on a duplicate-saturated corpus it degrades to a
+    # plain equi-join, still linear).
+    multi = groups.filter(F.col("n_fp") >= 2).select(
+        "fp", F.col("m.node").alias("rep"), "n_fp"
+    )
+    membership = (
+        docs.select("node", "fp")
+        .join(multi, "fp", "left")
+        .select(
+            "node",
+            F.coalesce("rep", "node").alias("rep"),
+            F.coalesce("n_fp", F.lit(1)).alias("n_fp"),
+        )
     )
     return (
         membership.join(cc, "rep", "left")
