@@ -123,11 +123,30 @@ def main() -> None:
     # 8->32 criterion AND the 2->8 row where the hardware genuinely has
     # 4x capacity.  local[8] serves as 4N of the first pair and N of
     # the second.
-    r2 = run_at(2, sf_dir, replicate)
+    #
+    # TWO interleaved passes per level (2, 8, 32, 2, 8, 32), best per
+    # level: the VM's effective capacity drifts on a minutes scale
+    # (noisy neighbors), and a single sequential sweep hands each level
+    # a different machine — measured round 3: the same local[8] job at
+    # 5309 and 6197 docs/sec twenty minutes apart, which alone moves
+    # the 2→8 efficiency reading by 0.1.
+    def best(a: dict, b: dict) -> dict:
+        merged = dict(a if a["docs_per_sec"] >= b["docs_per_sec"] else b)
+        merged["ops_sec"] = {
+            k: min(a["ops_sec"][k], b["ops_sec"][k]) for k in a.get("ops_sec", {})
+        }
+        return merged
+
+    passes = []
+    for i in range(2):
+        row = {c: run_at(c, sf_dir, replicate) for c in (2, 8, 32)}
+        print(f"pass {i}:", {c: row[c]["docs_per_sec"] for c in row}, file=sys.stderr)
+        passes.append(row)
+    r2 = best(passes[0][2], passes[1][2])
+    r8 = best(passes[0][8], passes[1][8])
+    r32 = best(passes[0][32], passes[1][32])
     print("local[2]:", r2, file=sys.stderr)
-    r8 = run_at(8, sf_dir, replicate)
     print("local[8]:", r8, file=sys.stderr)
-    r32 = run_at(32, sf_dir, replicate)
     print("local[32]:", r32, file=sys.stderr)
     eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4.0
     eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
