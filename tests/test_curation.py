@@ -1,0 +1,116 @@
+"""Semantics tests for the corpus-curation operators with PLANTED
+cases — independent of the cross-engine differential (which proves
+Spark == DuckDB but not that either is right).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wtq.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+WORDS13 = " ".join(f"w{i}" for i in range(13))
+
+
+class TestDecontaminate:
+    def test_planted_contamination_detected(self, spark):
+        rows = [
+            # benchmark doc (97 | doc_id): its first 13-gram is the bench gram
+            (0, WORDS13 + " tail tail", "s"),
+            # contaminated: contains the bench gram mid-document
+            (1, "lead " + WORDS13 + " more", "s"),
+            # clean: 13+ words but no overlap
+            (2, " ".join(f"x{i}" for i in range(20)), "s"),
+            # short: < 13 words, can never be flagged
+            (3, "a b c", "s"),
+        ]
+        out = {
+            r["doc_id"]: r["n_hits"]
+            for r in C.decontaminate(_docs(spark, rows)).collect()
+        }
+        assert out == {1: 1}
+
+    def test_benchmark_docs_never_flagged(self, spark):
+        # two benchmark docs sharing a gram must not flag each other
+        rows = [(0, WORDS13, "s"), (97, WORDS13 + " t", "s")]
+        assert C.decontaminate(_docs(spark, rows)).count() == 0
+
+    def test_multiple_distinct_hits_counted(self, spark):
+        g2 = " ".join(f"y{i}" for i in range(13))
+        rows = [
+            (0, WORDS13, "s"),
+            (97, g2, "s"),
+            (1, WORDS13 + " glue " + g2, "s"),
+        ]
+        [(doc, hits)] = [
+            (r["doc_id"], r["n_hits"])
+            for r in C.decontaminate(_docs(spark, rows)).collect()
+        ]
+        assert (doc, hits) == (1, 2)
+
+
+class TestIncrementalCorpusDedup:
+    def test_known_fingerprints_dropped_and_batch_deduped(self, spark):
+        rows = [
+            (0, "already in the corpus", "s"),   # corpus (even)
+            (1, "already in the corpus", "s"),   # new, known → dropped
+            (3, "novel text one", "s"),          # new, novel → kept
+            (5, "novel text one", "s"),          # dup within batch → folded
+            (7, "novel text two", "s"),          # new, novel → kept
+        ]
+        out = C.incremental_corpus_dedup(_docs(spark, rows)).collect()
+        assert sorted(r["doc_id"] for r in out) == [3, 7]
+
+    def test_only_new_batch_emitted(self, spark):
+        rows = [(2 * i, f"text {i}", "s") for i in range(5)]  # corpus only
+        assert C.incremental_corpus_dedup(_docs(spark, rows)).count() == 0
+
+
+class TestTokenBudgetSample:
+    def test_budget_respected_and_prefix_property(self, spark):
+        rows = [
+            (i, " ".join(["tok"] * 40), f"h{i % 2}") for i in range(20)
+        ]
+        out = C.token_budget_sample(_docs(spark, rows), budget=200).collect()
+        by_host: dict[str, list] = {}
+        for r in out:
+            by_host.setdefault(r["source"], []).append(r)
+        assert set(by_host) == {"h0", "h1"}
+        for host, kept in by_host.items():
+            # budget: every kept row's running total within budget
+            assert all(r["cum_tokens"] <= 200 for r in kept)
+            # 40 tokens each → exactly 5 docs fit per host
+            assert len(kept) == 5
+            # prefix property: cum_tokens are consecutive multiples of 40
+            assert sorted(r["cum_tokens"] for r in kept) == [40, 80, 120, 160, 200]
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, " ".join(["w"] * (i + 1)), "h") for i in range(30)]
+        a = sorted(r["doc_id"] for r in C.token_budget_sample(_docs(spark, rows), budget=50).collect())
+        b = sorted(r["doc_id"] for r in C.token_budget_sample(
+            _docs(spark, rows).repartition(7), budget=50).collect())
+        assert a == b and a  # non-empty and partition-count-invariant
+
+
+class TestSourceQualityGate:
+    def test_stopword_free_host_dropped(self, spark):
+        rows = (
+            # spam host: ≥ GATE_MIN_DOCS docs, zero stopwords
+            [(i, "buy buy buy cheap cheap", "spam") for i in range(3)]
+            # normal host: all-stopword docs → frac 1.0, kept
+            + [(10 + i, "the and of the", "good") for i in range(3)]
+            # tiny host: stopword-free but only 1 doc → kept (no evidence)
+            + [(20, "zzz zzz zzz", "tiny")]
+        )
+        out = {r["source"]: r["gate"] for r in
+               C.source_quality_gate(_docs(spark, rows)).collect()}
+        assert out == {"spam": "drop", "good": "keep", "tiny": "keep"}
+
+    def test_verdict_table_is_host_sized(self, spark):
+        rows = [(i, "the of and", f"h{i % 4}") for i in range(40)]
+        assert C.source_quality_gate(_docs(spark, rows)).count() == 4

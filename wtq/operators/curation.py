@@ -1,0 +1,290 @@
+"""Corpus-curation operators a training-data pipeline runs between
+filtering and training: benchmark decontamination, incremental
+crawl-vs-corpus dedup, per-host token-budget sampling, and
+domain-level quality gating.
+
+Reference lineage: each of these is a composition of patterns the
+reference already exercises — the anti-join "already reported" filter
+(proccess_data.sql:422-423,482-488 — SURVEY.md §2.3 J7), the
+having-count duplicate detector (:204-213 — A6/J8), and the
+aggregate-then-join-back role lookup (:180-195 joined at :459-461 —
+J5/A5).  The payloads here are the web-text curation equivalents.
+
+Determinism contract: every priority / fingerprint / shingle key is
+md5-derived (identical lowercase-hex semantics in Spark and DuckDB),
+never engine-native hash() or rand() — results are bit-identical
+cross-engine, cross-run, and cluster-size-independent.
+
+Scale notes (100 TB):
+  * decontaminate: the benchmark side is tiny by construction (a
+    benchmark suite is KBs–MBs) → broadcast; the corpus side explodes
+    to one row per 13-gram but carries only (id, 16-byte digest) into
+    the join, and the broadcast semi-join filters before any shuffle.
+    With AQE runtime filters the digest stream short-circuits at scan.
+  * incremental_corpus_dedup: the existing-corpus side is a
+    fingerprint TABLE (16-byte digests), bucketed by fingerprint at
+    rest → the anti join becomes storage-partitioned (shuffle-free on
+    the big side).  Never ship text into the join.
+  * token_budget_sample: the running sum is windowed PER HOST — the
+    natural unit of curation quotas — so no global single-partition
+    sort exists anywhere (contrast the decile trap VERDICT r2 flagged).
+  * source_quality_gate: per-host aggregates are |hosts| rows
+    (millions, not billions) → broadcast back against the doc stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---- shared constants (Spark AND oracle SQL are generated from these) ----
+DECONTAM_K = 13          # n-gram size, the C4/GPT-3 decontamination convention
+BENCH_MOD = 97           # doc_id % BENCH_MOD == 0 → doc seeds the benchmark set
+TOKEN_BUDGET = 600       # per-host token budget (non-vacuous at test SFs:
+                         # hosts carry ~1.1-1.7k tokens, so roughly half are cut)
+GATE_MIN_DOCS = 3        # hosts with fewer docs than this are kept (no evidence)
+GATE_STOPWORD_MIN = 0.055  # host-level mean stopword fraction below this → drop
+                           # host (fires on 1/20 hosts at sf0.001, 4/20 at
+                           # sf0.01, with ≥1e-3 margin to the nearest host —
+                           # far above float-summation jitter on the rounded
+                           # 9-digit mean both engines compare)
+
+
+def _words(col):
+    """Whitespace tokens, empties removed — mirrors DuckDB
+    list_filter(string_split(text,' '), x -> x <> '')."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def decontaminate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    13-gram with the benchmark set (the C4/GPT-3 n-gram-overlap
+    protocol).  The benchmark here is self-contained per the no-
+    external-data rule: the first 13-gram of every doc with
+    doc_id % 97 == 0 plays the role of a held-out eval question.
+
+    Returns (doc_id, n_hits): contaminated non-benchmark docs and how
+    many distinct benchmark grams they contain.
+
+    Join key is md5(gram), not the gram string: the shuffle/broadcast
+    payload is 16 bytes instead of a 13-word string, and md5 is
+    bit-identical in both engines.
+    """
+    ws = df.select(
+        F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("ws")
+    ).filter(F.size("ws") >= DECONTAM_K)
+    bench = (
+        ws.filter(F.col("doc") % BENCH_MOD == 0)
+        .select(F.md5(F.array_join(F.slice("ws", 1, DECONTAM_K), " ")).alias("g"))
+        .distinct()
+    )
+    grams = (
+        ws.filter(F.col("doc") % BENCH_MOD != 0)
+        .select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (DECONTAM_K - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("ws", i, DECONTAM_K), " ")),
+                )
+            ).alias("g"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), w13 AS (
+  SELECT * FROM w WHERE len(ws) >= {DECONTAM_K}
+), bench AS (
+  SELECT DISTINCT md5(array_to_string(ws[1:{DECONTAM_K}], ' ')) AS g
+  FROM w13 WHERE doc_id % {BENCH_MOD} = 0
+), grams AS (
+  SELECT doc_id, md5(array_to_string(ws[i:i+{DECONTAM_K - 1}], ' ')) AS g
+  FROM w13, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - {DECONTAM_K - 1})) AS i
+  ) s
+  WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT doc_id, count(DISTINCT g) AS n_hits
+FROM grams JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+
+def incremental_corpus_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Incremental crawl-vs-corpus dedup: the batch every recurring
+    crawl runs — drop new documents whose content fingerprint already
+    exists in the accumulated corpus, and dedup within the new batch
+    itself.  Here doc_id parity partitions the table into "existing
+    corpus" (even) and "new crawl" (odd); in production the corpus
+    side is the persisted fingerprint table of all prior snapshots.
+
+    Returns (fingerprint, doc_id): one surviving representative (min
+    doc_id) per novel fingerprint.  Left-anti is the J7 pattern
+    (proccess_data.sql:422-423 "already reported" filter).
+    """
+    fp = lambda c: F.md5(F.col(c))  # noqa: E731
+    d = df.select(F.col(id_col).alias("doc"), fp(text_col).alias("fingerprint"))
+    corpus = d.filter(F.col("doc") % 2 == 0).select("fingerprint").distinct()
+    new = d.filter(F.col("doc") % 2 == 1)
+    return (
+        new.join(corpus, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc").alias(id_col))
+    )
+
+
+SQL_INCREMENTAL_CORPUS_DEDUP = """
+WITH d AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+corpus AS (SELECT DISTINCT fingerprint FROM d WHERE doc_id % 2 = 0),
+new AS (SELECT * FROM d WHERE doc_id % 2 = 1)
+SELECT fingerprint, min(doc_id) AS doc_id
+FROM new
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = new.fingerprint)
+GROUP BY fingerprint
+"""
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "source",
+    budget: int = TOKEN_BUDGET,
+) -> DataFrame:
+    """Per-host token-budget sampling: order each host's documents by
+    a deterministic content-hash priority and keep documents while the
+    host's running token total stays within budget — the curation step
+    that caps how much any one domain contributes to a training mix.
+
+    The running sum is a window with an explicit ROWS UNBOUNDED
+    PRECEDING frame, partitioned by host — the lag/running-aggregate
+    family SURVEY.md §2.5 lists as absent from the reference, here in
+    its scale-safe (partitioned) form.
+
+    Returns (doc_id, host, n_tokens, cum_tokens) for kept docs.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(host_col).alias("host"),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.md5(F.col("doc").cast("string")), "doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("host").alias(host_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+SELECT doc_id, source, n_tokens, cum_tokens FROM (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM documents
+) WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+def source_quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "source",
+) -> DataFrame:
+    """Domain-level quality gating: aggregate per-document signals to
+    host level and drop WHOLE hosts whose aggregate quality fails —
+    the spam-domain blocklist step that document-level rules cannot
+    express (a spam farm's individual pages can each pass).
+
+    Two-level shape: doc stats → host aggregate (A5 role-histogram
+    analog, proccess_data.sql:180-195).  The returned verdict table is
+    |hosts| rows — broadcast-sized at any corpus scale — and applying
+    it is a broadcast join against the doc stream (J11 :837 / the
+    dedup_apply pattern).  Hosts with < GATE_MIN_DOCS docs are kept
+    (no evidence).
+
+    Returns (host, n_docs, mean_stopword_frac, gate) — gate in
+    ('keep','drop') — one row per host.
+    """
+    from wtq.rules.lexicon import STOPWORDS
+
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    d = df.select(
+        F.col(host_col).alias("host"),
+        _words(F.col(text_col)).alias("ws"),
+    ).select(
+        "host",
+        F.size("ws").alias("n_words"),
+        F.size(
+            F.filter("ws", lambda x: F.array_contains(stop_arr, F.lower(x)))
+        ).alias("n_stop"),
+    )
+    agg = d.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.avg(
+                F.col("n_stop").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+            ),
+            9,
+        ).alias("mean_stopword_frac"),
+    )
+    return agg.select(
+        F.col("host").alias(host_col),
+        "n_docs",
+        "mean_stopword_frac",
+        F.when(
+            (F.col("n_docs") >= GATE_MIN_DOCS)
+            & (F.col("mean_stopword_frac") < GATE_STOPWORD_MIN),
+            F.lit("drop"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("gate"),
+    )
+
+
+def _sql_source_quality_gate(stop_sql: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+                         x -> list_contains([{stop_sql}], lower(x)))) AS n_stop
+  FROM documents
+), agg AS (
+  SELECT source, count(*) AS n_docs,
+         round(avg(CAST(n_stop AS DOUBLE) / greatest(n_words, 1)), 9) AS mean_stopword_frac
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, mean_stopword_frac,
+       CASE WHEN n_docs >= {GATE_MIN_DOCS} AND mean_stopword_frac < {GATE_STOPWORD_MIN}
+            THEN 'drop' ELSE 'keep' END AS gate
+FROM agg
+"""
