@@ -35,6 +35,87 @@ def test_top_word_frac():
     assert H.py_top_word_frac("") == 0.0
 
 
+def test_dup_para_frac():
+    text = "para one\n\npara two\n\npara one"
+    # 'para one' (8 chars) twice → 8 excess of 24 total para chars
+    assert abs(H.py_dup_para_frac(text) - 8 / 24) < 1e-12
+    assert H.py_dup_para_frac("a\n\nb\n\nc") == 0.0
+    assert H.py_dup_para_frac("") == 0.0
+    # single-paragraph text (no \n\n) can never fire
+    assert H.py_dup_para_frac("just one paragraph") == 0.0
+
+
+def test_top_ngram_frac():
+    words = "a b a b x".split()
+    # 2-grams: (a,b)×2 (b,a)×1 (b,x)×1 → top = (a,b): 2 occ × 2 chars / 5 total
+    assert abs(H.py_top_ngram_frac(words, 2) - 2 * 2 / 5) < 1e-12
+    # fewer words than n → 0
+    assert H.py_top_ngram_frac(["a"], 2) == 0.0
+    assert H.py_top_ngram_frac([], 3) == 0.0
+
+
+def test_dup_ngram_frac():
+    # 'a b c d e' ×3 glued: the 5-gram (a,b,c,d,e) occurs 3 times
+    words = "a b c d e a b c d e a b c d e".split()
+    f = H.py_dup_ngram_frac(words, 5)
+    # every 5-gram window that repeats contributes; at minimum the
+    # (a..e) gram's 2 excess occurrences × 5 chars over 15 total chars
+    assert f >= 2 * 5 / 15
+    # unique text → 0
+    assert H.py_dup_ngram_frac(list("abcdefghij"), 5) == 0.0
+
+
+def test_repetition_rules_fire():
+    # dominant 2-gram: 'buy now' repeated 30× (60 words, passes Q-1)
+    stats = H.py_stats(" ".join(["buy now"] * 30))
+    fired = H.py_fired_rules(stats, lang_mismatch=False, ppl=0.0, profanity_hits=0)
+    assert {"Q-14", "Q-15", "Q-16", "Q-17", "Q-18", "Q-19", "Q-20", "Q-21", "Q-22"} <= set(fired)
+    # duplicated paragraphs
+    para = "some unique paragraph text here"
+    stats = H.py_stats((para + "\n\n") * 3 + "tail")
+    fired = H.py_fired_rules(stats, lang_mismatch=False, ppl=0.0, profanity_hits=0)
+    assert "Q-13" in fired
+    # clean prose fires none of the repetition family
+    clean = "the quick brown fox jumps over the lazy dog and then " \
+            "walks along the river bank toward a small village market"
+    stats = H.py_stats(clean)
+    fired = H.py_fired_rules(stats, lang_mismatch=False, ppl=0.0, profanity_hits=0)
+    assert not set(fired) & {c for c, _, _ in R.REPETITION_RULES}
+
+
+def test_cascaded_repetition_stats_equal_reference_forms():
+    """The interned/cascaded fast path in py_stats must be value-equal
+    to the simple per-n definitions, including on tie-heavy and
+    degenerate inputs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e", "fff", "gg"]
+    cases = [
+        "",
+        "one",
+        "x y",
+        "a a a a a a",
+        "spam ham spam ham spam ham spam ham spam ham",
+        ("p q r s t u v w " * 4).strip(),  # repeated 8-word block
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 60)))
+        for _ in range(200)
+    ]
+    for text in cases:
+        words = H.py_words(text)
+        got = H._py_repetition_stats(words)
+        for n in (2, 3, 4):
+            assert got[f"top_{n}gram_frac"] == H.py_top_ngram_frac(words, n), (text, n)
+        for n in range(5, 11):
+            assert got[f"dup_{n}gram_frac"] == H.py_dup_ngram_frac(words, n), (text, n)
+
+
+def test_repetition_rules_in_registry():
+    codes = {r.code for r in R.RULES}
+    assert {c for c, _, _ in R.REPETITION_RULES} <= codes
+
+
 def test_fired_rules_thresholds():
     stats = H.py_stats("word " * 5)  # 5 words < MIN_WORDS
     fired = H.py_fired_rules(stats, lang_mismatch=False, ppl=0.0, profanity_hits=0)

@@ -193,6 +193,17 @@ def generate_pages_pdf(sf_dir: str, replicate: int = 1) -> pd.DataFrame:
                 rows.append(
                     (url, ts - timedelta(days=1), b"<html><body>" + stale.encode("utf-8") + b"</body></html>", stale, lang)
                 )
+            if feat == "boilerplate" and key % 3 == 0:
+                # companion page with REPEATED PARAGRAPHS (\n\n-separated)
+                # so the Gopher dup-paragraph rule (Q-13) has true
+                # positives in the corpus — added as an extra row (not a
+                # 20th feature class) so every existing key keeps its
+                # class under key % N_CLASSES
+                para = _to_lines(rng, _normal_words(rng, lang, 30))
+                ptext = "\n\n".join([para, _to_lines(rng, _normal_words(rng, lang, 25)), para])
+                rows.append(
+                    (url + "-paras", ts + timedelta(hours=2), b"<html><body>" + ptext.encode("utf-8") + b"</body></html>", ptext, lang)
+                )
             if feat == "near_dup":
                 # companion page at a sibling url: same body, ONE word
                 # mutated — a true near-duplicate pair inside the table
@@ -209,7 +220,7 @@ def generate_pages_pdf(sf_dir: str, replicate: int = 1) -> pd.DataFrame:
     return pdf
 
 
-GEN_VERSION = 3  # bump to invalidate /tmp caches when generation changes
+GEN_VERSION = 4  # bump to invalidate /tmp caches when generation changes
 
 
 def ensure_pages(sf_dir: str, replicate: int = 1, cache_root: str = "/tmp/wtq_pages") -> str:

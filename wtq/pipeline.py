@@ -35,6 +35,19 @@ from wtq.rules.langid import MARGIN_MIN, predict_lang
 from wtq.rules.perplexity import char_perplexity
 from wtq.rules.scrub import scrub_text
 
+# Every py_stats key, in emission order.  SCORE_SCHEMA, the UDF row
+# assembly, and decide()'s stats dict all derive from this one list —
+# a stat added to py_stats (e.g. the Gopher repetition family) only
+# needs an entry here to flow through to the rule expressions.
+STAT_FIELDS: list[str] = [
+    "n_words", "n_lines", "mean_word_len", "symbol_ratio",
+    "stopword_frac", "bullet_frac", "ellipsis_frac", "rep_line_frac",
+    "top_word_frac", "brace_line_frac", "has_lorem", "dup_para_frac",
+    "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+    "dup_5gram_frac", "dup_6gram_frac", "dup_7gram_frac",
+    "dup_8gram_frac", "dup_9gram_frac", "dup_10gram_frac",
+]
+
 SCORE_SCHEMA = T.StructType(
     [
         T.StructField("scrubbed", T.StringType()),
@@ -45,17 +58,12 @@ SCORE_SCHEMA = T.StructType(
         T.StructField("pred_lang", T.StringType()),
         T.StructField("lang_margin", T.DoubleType()),
         T.StructField("ppl", T.DoubleType()),
-        T.StructField("n_words", T.IntegerType()),
-        T.StructField("n_lines", T.IntegerType()),
-        T.StructField("mean_word_len", T.DoubleType()),
-        T.StructField("symbol_ratio", T.DoubleType()),
-        T.StructField("stopword_frac", T.DoubleType()),
-        T.StructField("bullet_frac", T.DoubleType()),
-        T.StructField("ellipsis_frac", T.DoubleType()),
-        T.StructField("rep_line_frac", T.DoubleType()),
-        T.StructField("top_word_frac", T.DoubleType()),
-        T.StructField("brace_line_frac", T.DoubleType()),
-        T.StructField("has_lorem", T.DoubleType()),
+    ]
+    + [
+        T.StructField(
+            f, T.IntegerType() if f in ("n_words", "n_lines") else T.DoubleType()
+        )
+        for f in STAT_FIELDS
     ]
 )
 
@@ -88,18 +96,8 @@ def score_udf(texts: pd.Series) -> pd.DataFrame:
                 lang,
                 margin,
                 ppl,
-                st["n_words"],
-                st["n_lines"],
-                st["mean_word_len"],
-                st["symbol_ratio"],
-                st["stopword_frac"],
-                st["bullet_frac"],
-                st["ellipsis_frac"],
-                st["rep_line_frac"],
-                st["top_word_frac"],
-                st["brace_line_frac"],
-                st["has_lorem"],
             )
+            + tuple(st[f] for f in STAT_FIELDS)
         )
     return pd.DataFrame(rows, columns=[f.name for f in SCORE_SCHEMA.fields])
 
@@ -149,14 +147,7 @@ def decide(pages: DataFrame, num_partitions: int | None = None, dedup: bool = Tr
     scored = pages.withColumn("__s", score_udf(F.col("text")))
     s = F.col("__s")
     scrubbed = s["scrubbed"]
-    stats = {
-        k: s[k]
-        for k in (
-            "n_words", "n_lines", "mean_word_len", "symbol_ratio",
-            "stopword_frac", "bullet_frac", "ellipsis_frac",
-            "brace_line_frac", "has_lorem",
-        )
-    }
+    stats = {k: s[k] for k in STAT_FIELDS}
     fired = H.fired_rules_expr(
         stats,
         rep_line_frac=s["rep_line_frac"],

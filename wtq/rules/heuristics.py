@@ -30,6 +30,19 @@ Definitions (on the SCRUBBED text):
   top_word_frac   = max word frequency / n_words  (0.0 if no words)
   brace_line_frac = count(line contains "{" or "}") / max(n_lines, 1)
   has_lorem       = 1.0 iff lower(text) contains "lorem ipsum"
+
+Gopher repetition family (Rae et al. 2021, Table A1; char-weighted
+"excess occurrence" form, matching rep_line_frac's convention —
+paragraphs split on "\n\n", word n-grams over `words`, gram chars =
+Σ len(word) over the gram, total chars = Σ len(word) over all words):
+  dup_para_frac     = Σ parachars·(occurrences-1) over distinct
+                      paragraphs / Σ parachars     (0.0 if no paras)
+  top_{2,3,4}gram_frac = occurrences(most frequent n-gram) · gramchars
+                      / total word chars           (0.0 if < n words
+                      or the top gram occurs only once — once is not
+                      repetition)
+  dup_{5..10}gram_frac = Σ gramchars·(occurrences-1) over distinct
+                      duplicated n-grams / total word chars
 """
 
 from __future__ import annotations
@@ -71,6 +84,7 @@ def fired_rules_expr(
         (top_word_frac > R.TOP_WORD_FRAC_MAX, "Q-10"),
         (stats["brace_line_frac"] > R.BRACE_LINE_FRAC_MAX, "Q-11"),
         (stats["has_lorem"] > 0, "Q-12"),
+        *[(stats[field] > thresh, code) for code, field, thresh in R.REPETITION_RULES],
         (lang_mismatch, "L-1"),
         (ppl > R.PPL_MAX, "P-1"),
         (profanity_hits >= R.PROFANITY_MIN_HITS, "T-1"),
@@ -111,6 +125,99 @@ def py_top_word_frac(text: str) -> float:
     return max(c.values()) / len(words)
 
 
+def py_dup_para_frac(text: str) -> float:
+    paras = [p for p in (text or "").split("\n\n") if p != ""]
+    if not paras:
+        return 0.0
+    total = sum(len(p) for p in paras)
+    if total == 0:
+        return 0.0
+    c = Counter(paras)
+    dup = sum(len(p) * (n - 1) for p, n in c.items() if n > 1)
+    return dup / total
+
+
+def _ngram_counter(ids: list[int], n: int) -> Counter:
+    """n-gram counts over interned word ids — `zip` iterates in C, and
+    hashing small int tuples is several× cheaper than str tuples."""
+    return Counter(zip(*(ids[i:] for i in range(n))))
+
+
+def py_top_ngram_frac(words: list[str], n: int) -> float:
+    """Chars covered by the single most frequent word n-gram / total
+    word chars (Gopher top-n-gram character fraction).  A gram
+    occurring once is not repetition: 0.0 unless the top count ≥ 2 —
+    otherwise every short document's unique top 4-gram exceeds the
+    0.16 threshold arithmetically (a 21-word clean sentence measures
+    0.20)."""
+    total = sum(len(w) for w in words)
+    if len(words) < n or total == 0:
+        return 0.0
+    c = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+    # tie-break on gram char length — the value-determining quantity —
+    # so the answer is independent of gram representation (the
+    # cascaded fast path in _py_repetition_stats counts interned ids)
+    cnt, chars = max((k, sum(len(w) for w in g)) for g, k in c.items())
+    if cnt < 2:
+        return 0.0
+    return cnt * chars / total
+
+
+def py_dup_ngram_frac(words: list[str], n: int) -> float:
+    """Excess chars of duplicated word n-grams / total word chars
+    (Gopher duplicate-n-gram character fraction, excess-occurrence
+    form: each repeat beyond the first counts its gram's chars)."""
+    total = sum(len(w) for w in words)
+    if len(words) < n or total == 0:
+        return 0.0
+    c = Counter(tuple(words[i : i + n]) for i in range(len(words) - n + 1))
+    dup = sum(sum(len(w) for w in g) * (k - 1) for g, k in c.items() if k > 1)
+    return dup / total
+
+
+def _py_repetition_stats(words: list[str]) -> dict[str, float]:
+    """All nine Gopher n-gram stats in one cascaded pass — value-equal
+    to calling py_top_ngram_frac / py_dup_ngram_frac per n (property-
+    tested), but hot-path-shaped: words are interned to ints once, and
+    the subgram implication (a repeated n-gram contains a repeated
+    (n−1)-gram) lets clean documents exit after ONE Counter instead of
+    nine — this is the pipeline's Arrow-pass inner loop."""
+    out = {f"top_{n}gram_frac": 0.0 for n in (2, 3, 4)}
+    out.update({f"dup_{n}gram_frac": 0.0 for n in range(5, 11)})
+    total = sum(len(w) for w in words)
+    if total == 0 or len(words) < 2:
+        return out
+    idx: dict[str, int] = {}
+    ids = [idx.setdefault(w, len(idx)) for w in words]
+    inv_lens = {i: len(w) for w, i in idx.items()}
+
+    def gram_chars(g: tuple) -> int:
+        return sum(inv_lens[i] for i in g)
+
+    any_repeat = True
+    for n in (2, 3, 4):
+        if len(words) < n or not any_repeat:
+            break
+        c = _ngram_counter(ids, n)
+        cnt, chars = max((k, gram_chars(g)) for g, k in c.items())
+        if cnt < 2:
+            any_repeat = False
+            continue
+        out[f"top_{n}gram_frac"] = cnt * chars / total
+    # the 2-gram counter above already told us whether ANY repetition
+    # exists; recheck at n=5 then cascade upward until an order is dry
+    for n in range(5, 11):
+        if len(words) < n or not any_repeat:
+            break
+        c = _ngram_counter(ids, n)
+        dup = sum(gram_chars(g) * (k - 1) for g, k in c.items() if k > 1)
+        if dup == 0:
+            any_repeat = False
+            continue
+        out[f"dup_{n}gram_frac"] = dup / total
+    return out
+
+
 def py_stats(text: str) -> dict[str, float]:
     text = text or ""
     words = py_words(text)
@@ -128,9 +235,11 @@ def py_stats(text: str) -> dict[str, float]:
         "bullet_frac": sum(1 for l in lines if l.startswith(("- ", "* ", "•"))) / nl,
         "ellipsis_frac": sum(1 for l in lines if l.endswith("...")) / nl,
         "rep_line_frac": py_rep_line_frac(text),
-        "top_word_frac": py_top_word_frac(text),
+        "top_word_frac": (max(Counter(words).values()) / n_words) if words else 0.0,
         "brace_line_frac": sum(1 for l in lines if "{" in l or "}" in l) / nl,
         "has_lorem": 1.0 if "lorem ipsum" in text.lower() else 0.0,
+        "dup_para_frac": py_dup_para_frac(text),
+        **_py_repetition_stats(words),
     }
 
 
@@ -165,6 +274,9 @@ def py_fired_rules(
         fired.append("Q-11")
     if stats["has_lorem"] > 0:
         fired.append("Q-12")
+    for code, field, thresh in R.REPETITION_RULES:
+        if stats[field] > thresh:
+            fired.append(code)
     if lang_mismatch:
         fired.append("L-1")
     if ppl > R.PPL_MAX:

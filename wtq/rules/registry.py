@@ -36,6 +36,16 @@ RULES: list[Rule] = [
     Rule("Q-10", "top_word_frac", "most frequent word exceeds TOP_WORD_FRAC_MAX of all words"),
     Rule("Q-11", "code_braces", "fraction of lines containing curly braces above BRACE_LINE_FRAC_MAX (code/markup spill — C4's '{' filter)"),
     Rule("Q-12", "lorem_ipsum", "contains the 'lorem ipsum' placeholder phrase (C4 filler filter)"),
+    Rule("Q-13", "dup_paragraphs", "duplicate-paragraph character fraction above 0.20 (Gopher repetition family)"),
+    Rule("Q-14", "top_2gram", "top word-2-gram character fraction above 0.20 (Gopher)"),
+    Rule("Q-15", "top_3gram", "top word-3-gram character fraction above 0.18 (Gopher)"),
+    Rule("Q-16", "top_4gram", "top word-4-gram character fraction above 0.16 (Gopher)"),
+    Rule("Q-17", "dup_5gram", "duplicate word-5-gram character fraction above 0.15 (Gopher)"),
+    Rule("Q-18", "dup_6gram", "duplicate word-6-gram character fraction above 0.14 (Gopher)"),
+    Rule("Q-19", "dup_7gram", "duplicate word-7-gram character fraction above 0.13 (Gopher)"),
+    Rule("Q-20", "dup_8gram", "duplicate word-8-gram character fraction above 0.12 (Gopher)"),
+    Rule("Q-21", "dup_9gram", "duplicate word-9-gram character fraction above 0.11 (Gopher)"),
+    Rule("Q-22", "dup_10gram", "duplicate word-10-gram character fraction above 0.10 (Gopher)"),
     Rule("L-1", "lang_mismatch", "language-ID prediction disagrees with the crawl lang label"),
     Rule("P-1", "perplexity", "character-n-gram perplexity above PPL_MAX (gibberish)"),
     Rule("T-1", "toxicity", "profanity-lexicon hit count at/above PROFANITY_MIN_HITS"),
@@ -61,6 +71,23 @@ BRACE_LINE_FRAC_MAX = 0.10
 # both sides.
 PPL_MAX = 24.0
 PROFANITY_MIN_HITS = 1
+
+# Gopher repetition family (Rae et al. 2021 Table A1 thresholds).
+# Single source of truth: BOTH fired_rules_expr (Spark) and
+# py_fired_rules (oracle) iterate this table, so a rule added here is
+# automatically evaluated on both sides of the differential.
+REPETITION_RULES: list[tuple[str, str, float]] = [
+    ("Q-13", "dup_para_frac", 0.20),
+    ("Q-14", "top_2gram_frac", 0.20),
+    ("Q-15", "top_3gram_frac", 0.18),
+    ("Q-16", "top_4gram_frac", 0.16),
+    ("Q-17", "dup_5gram_frac", 0.15),
+    ("Q-18", "dup_6gram_frac", 0.14),
+    ("Q-19", "dup_7gram_frac", 0.13),
+    ("Q-20", "dup_8gram_frac", 0.12),
+    ("Q-21", "dup_9gram_frac", 0.11),
+    ("Q-22", "dup_10gram_frac", 0.10),
+]
 
 # Symbol set for Q-4 (exact char set — both engines count via translate)
 SYMBOLS = "#$%&*+<=>@^_|~"
