@@ -54,6 +54,39 @@ class TestDecontaminate:
         assert (doc, hits) == (1, 2)
 
 
+class TestExplicitSideInputs:
+    """Production shape: string ids + explicit benchmark / corpus side
+    inputs (the default id-parity splits are the self-contained test
+    configuration only)."""
+
+    def test_decontaminate_with_explicit_benchmark(self, spark):
+        docs = spark.createDataFrame(
+            [
+                ("https://a/1", "lead " + WORDS13 + " more"),
+                ("https://a/2", " ".join(f"z{i}" for i in range(20))),
+            ],
+            "url string, text string",
+        )
+        bench = C.benchmark_grams(
+            spark.createDataFrame([(WORDS13 + " suffix",)], "text string")
+        )
+        out = C.decontaminate(docs, "url", "text", benchmark=bench).collect()
+        assert [(r["url"], r["n_hits"]) for r in out] == [("https://a/1", 1)]
+
+    def test_incremental_dedup_with_explicit_corpus(self, spark):
+        new = spark.createDataFrame(
+            [("u1", "known text"), ("u2", "fresh text"), ("u3", "fresh text")],
+            "url string, text string",
+        )
+        corpus = spark.createDataFrame([("known text",)], "t string").select(
+            C.F.md5("t")
+        )
+        out = C.incremental_corpus_dedup(
+            new, "url", "text", corpus_fingerprints=corpus
+        ).collect()
+        assert sorted(r["url"] for r in out) == ["u2"]
+
+
 class TestIncrementalCorpusDedup:
     def test_known_fingerprints_dropped_and_batch_deduped(self, spark):
         rows = [

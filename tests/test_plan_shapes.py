@@ -130,3 +130,28 @@ def test_ivf_kmeans_broadcasts_centroids(spark):
     # assignment never sort-merge-joins the embedding side on a
     # non-broadcast centroid set
     assert "SortMergeJoin" not in plan.split("Window")[0]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark gram set is tiny by construction — it must enter
+    the plan as a broadcast (never a shuffled sort-merge join), and the
+    gram explosion must never become a cartesian product."""
+    from wtq.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["decontaminate"](spark, SF_DIR)
+    plan = plan_string(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_window_is_host_partitioned(spark):
+    """The running-sum window must be partitioned by host — a global
+    (SinglePartition) window would serialize the whole corpus through
+    one task at scale."""
+    from wtq.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["token_budget_sample"](spark, SF_DIR)
+    plan = plan_string(df, mode="simple")
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "hashpartitioning(host" in plan, plan[:3000]

@@ -56,17 +56,41 @@ def _words(col):
     return F.filter(F.split(col, " "), lambda x: x != "")
 
 
+def benchmark_grams(bench_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All 13-gram md5 digests of a benchmark corpus — the side input
+    `decontaminate` joins against.  Column: g (md5 hex)."""
+    ws = bench_df.select(_words(F.col(text_col)).alias("ws")).filter(
+        F.size("ws") >= DECONTAM_K
+    )
+    return ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (DECONTAM_K - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ws", i, DECONTAM_K), " ")),
+            )
+        ).alias("g")
+    ).distinct()
+
+
 def decontaminate(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     13-gram with the benchmark set (the C4/GPT-3 n-gram-overlap
-    protocol).  The benchmark here is self-contained per the no-
-    external-data rule: the first 13-gram of every doc with
-    doc_id % 97 == 0 plays the role of a held-out eval question.
+    protocol).
 
-    Returns (doc_id, n_hits): contaminated non-benchmark docs and how
-    many distinct benchmark grams they contain.
+    `benchmark` is a 1-column DataFrame of gram digests (build one
+    from benchmark texts with `benchmark_grams`).  When None, a
+    self-contained split is used per the no-external-data rule: the
+    first 13-gram of every doc with numeric id % 97 == 0 plays the
+    role of a held-out eval question, and those docs are excluded
+    from the output (a benchmark doc cannot contaminate itself).
+
+    Returns (doc_id, n_hits): contaminated docs and how many distinct
+    benchmark grams they contain.
 
     Join key is md5(gram), not the gram string: the shuffle/broadcast
     payload is 16 bytes instead of a 13-word string, and md5 is
@@ -75,22 +99,23 @@ def decontaminate(
     ws = df.select(
         F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("ws")
     ).filter(F.size("ws") >= DECONTAM_K)
-    bench = (
-        ws.filter(F.col("doc") % BENCH_MOD == 0)
-        .select(F.md5(F.array_join(F.slice("ws", 1, DECONTAM_K), " ")).alias("g"))
-        .distinct()
-    )
-    grams = (
-        ws.filter(F.col("doc") % BENCH_MOD != 0)
-        .select(
-            "doc",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (DECONTAM_K - 1)),
-                    lambda i: F.md5(F.array_join(F.slice("ws", i, DECONTAM_K), " ")),
-                )
-            ).alias("g"),
+    if benchmark is None:
+        bench = (
+            ws.filter(F.col("doc") % BENCH_MOD == 0)
+            .select(F.md5(F.array_join(F.slice("ws", 1, DECONTAM_K), " ")).alias("g"))
+            .distinct()
         )
+        ws = ws.filter(F.col("doc") % BENCH_MOD != 0)
+    else:
+        bench = benchmark.toDF("g")
+    grams = ws.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (DECONTAM_K - 1)),
+                lambda i: F.md5(F.array_join(F.slice("ws", i, DECONTAM_K), " ")),
+            )
+        ).alias("g"),
     )
     return (
         grams.join(F.broadcast(bench), "g")
@@ -122,14 +147,22 @@ GROUP BY doc_id
 
 
 def incremental_corpus_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental crawl-vs-corpus dedup: the batch every recurring
     crawl runs — drop new documents whose content fingerprint already
     exists in the accumulated corpus, and dedup within the new batch
-    itself.  Here doc_id parity partitions the table into "existing
-    corpus" (even) and "new crawl" (odd); in production the corpus
-    side is the persisted fingerprint table of all prior snapshots.
+    itself.
+
+    `corpus_fingerprints` is a 1-column DataFrame of md5 fingerprints
+    (in production: the persisted fingerprint table of all prior
+    snapshots, bucketed by fingerprint so this anti join is
+    storage-partitioned).  When None, a self-contained split is used:
+    numeric id parity partitions the input into "existing corpus"
+    (even) and "new crawl" (odd).
 
     Returns (fingerprint, doc_id): one surviving representative (min
     doc_id) per novel fingerprint.  Left-anti is the J7 pattern
@@ -137,8 +170,12 @@ def incremental_corpus_dedup(
     """
     fp = lambda c: F.md5(F.col(c))  # noqa: E731
     d = df.select(F.col(id_col).alias("doc"), fp(text_col).alias("fingerprint"))
-    corpus = d.filter(F.col("doc") % 2 == 0).select("fingerprint").distinct()
-    new = d.filter(F.col("doc") % 2 == 1)
+    if corpus_fingerprints is None:
+        corpus = d.filter(F.col("doc") % 2 == 0).select("fingerprint").distinct()
+        new = d.filter(F.col("doc") % 2 == 1)
+    else:
+        corpus = corpus_fingerprints.toDF("fingerprint")
+        new = d
     return (
         new.join(corpus, "fingerprint", "left_anti")
         .groupBy("fingerprint")
