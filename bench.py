@@ -107,8 +107,17 @@ def main() -> None:
         "media_features",
         "ann_ivf_topk",
         "order_value_deciles",
+        # round-3 curation extras (EXTRA registry — beyond the driver's
+        # 50-entry correctness cap but benched like first-class ops)
+        "decontaminate",
+        "incremental_corpus_dedup",
+        "token_budget_sample",
+        "source_quality_gate",
     ]
     q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
+    from wtq.queries import EXTRA_QUERIES
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}
     for name in headline:
         best = None
         # best-of-3: the VM throttles under sustained load — the same

@@ -137,12 +137,6 @@ def py_dup_para_frac(text: str) -> float:
     return dup / total
 
 
-def _ngram_counter(ids: list[int], n: int) -> Counter:
-    """n-gram counts over interned word ids — `zip` iterates in C, and
-    hashing small int tuples is several× cheaper than str tuples."""
-    return Counter(zip(*(ids[i:] for i in range(n))))
-
-
 def py_top_ngram_frac(words: list[str], n: int) -> float:
     """Chars covered by the single most frequent word n-gram / total
     word chars (Gopher top-n-gram character fraction).  A gram
@@ -178,43 +172,66 @@ def py_dup_ngram_frac(words: list[str], n: int) -> float:
 def _py_repetition_stats(words: list[str]) -> dict[str, float]:
     """All nine Gopher n-gram stats in one cascaded pass — value-equal
     to calling py_top_ngram_frac / py_dup_ngram_frac per n (property-
-    tested), but hot-path-shaped: words are interned to ints once, and
-    the subgram implication (a repeated n-gram contains a repeated
-    (n−1)-gram) lets clean documents exit after ONE Counter instead of
-    nine — this is the pipeline's Arrow-pass inner loop."""
+    tested), but hot-path-shaped (this is the pipeline's Arrow-pass
+    inner loop):
+
+      * words are interned to ints once;
+      * each level's grams are built INCREMENTALLY: an n-gram key is
+        (intern id of its (n−1)-gram prefix) · W + (last word id) —
+        one multiply-add listcomp + a Counter over small ints per
+        level, never n-tuple construction/hashing (keys stay < L·W ≤
+        L², machine ints);
+      * gram char lengths accumulate along the same chain, and are
+        only materialized for the grams that matter (top-count
+        candidates / duplicated grams);
+      * the subgram implication (a repeated n-gram contains a repeated
+        (n−1)-gram) exits the cascade at the first repetition-free
+        order, so clean documents cost ONE level.
+    """
     out = {f"top_{n}gram_frac": 0.0 for n in (2, 3, 4)}
     out.update({f"dup_{n}gram_frac": 0.0 for n in range(5, 11)})
     total = sum(len(w) for w in words)
-    if total == 0 or len(words) < 2:
+    L = len(words)
+    if total == 0 or L < 2:
         return out
     idx: dict[str, int] = {}
     ids = [idx.setdefault(w, len(idx)) for w in words]
-    inv_lens = {i: len(w) for w, i in idx.items()}
+    W = len(idx)
+    wchars = [0] * W
+    for w, i in idx.items():
+        wchars[i] = len(w)
 
-    def gram_chars(g: tuple) -> int:
-        return sum(inv_lens[i] for i in g)
+    # level state: cur[p] = intern id of the (n-1)-gram at position p;
+    # pchars[gid] = its char length.  Level 1 = the words themselves.
+    cur, pchars = ids, wchars
+    for n in range(2, 11):
+        if L < n:
+            break
+        # key of the n-gram at p: prefix gram id · W + last word id
+        keys = [g * W + w for g, w in zip(cur, ids[n - 1 :])]
+        c = Counter(keys)
 
-    any_repeat = True
-    for n in (2, 3, 4):
-        if len(words) < n or not any_repeat:
-            break
-        c = _ngram_counter(ids, n)
-        cnt, chars = max((k, gram_chars(g)) for g, k in c.items())
-        if cnt < 2:
-            any_repeat = False
-            continue
-        out[f"top_{n}gram_frac"] = cnt * chars / total
-    # the 2-gram counter above already told us whether ANY repetition
-    # exists; recheck at n=5 then cascade upward until an order is dry
-    for n in range(5, 11):
-        if len(words) < n or not any_repeat:
-            break
-        c = _ngram_counter(ids, n)
-        dup = sum(gram_chars(g) * (k - 1) for g, k in c.items() if k > 1)
-        if dup == 0:
-            any_repeat = False
-            continue
-        out[f"dup_{n}gram_frac"] = dup / total
+        def key_chars(k: int) -> int:
+            return pchars[k // W] + wchars[k % W]
+
+        if n <= 4:
+            cnt = max(c.values())
+            if cnt < 2:
+                break  # no repeated n-gram ⇒ none at any higher order
+            # tie-break on chars (value-determining, representation-
+            # independent — matches py_top_ngram_frac)
+            chars = max(key_chars(k) for k, v in c.items() if v == cnt)
+            out[f"top_{n}gram_frac"] = cnt * chars / total
+        else:
+            dup = sum(key_chars(k) * (v - 1) for k, v in c.items() if v > 1)
+            if dup == 0:
+                break
+            out[f"dup_{n}gram_frac"] = dup / total
+        if n < 10 and L >= n + 1:
+            # intern this level's grams for the next level
+            uniq = {k: j for j, k in enumerate(c)}
+            pchars = [key_chars(k) for k in c]
+            cur = [uniq[k] for k in keys]
     return out
 
 
@@ -230,7 +247,9 @@ def py_stats(text: str) -> dict[str, float]:
         "n_words": n_words,
         "n_lines": n_lines,
         "mean_word_len": (sum(len(w) for w in words) / n_words) if n_words else 0.0,
-        "symbol_ratio": sum(1 for ch in text if ch in R.SYMBOLS) / nw,
+        # str.count per symbol char (C speed) == the per-char scan for
+        # single-char needles
+        "symbol_ratio": sum(text.count(c) for c in R.SYMBOLS) / nw,
         "stopword_frac": sum(1 for w in words if w.lower() in STOPWORDS) / nw,
         "bullet_frac": sum(1 for l in lines if l.startswith(("- ", "* ", "•"))) / nl,
         "ellipsis_frac": sum(1 for l in lines if l.endswith("...")) / nl,
