@@ -97,11 +97,16 @@ def test_deciles_no_global_single_task_sort(spark):
     allowed is the one feeding the prefix-sum window over the tiny
     per-partition-counts aggregate (≤ defaultParallelism rows), never
     the orders data itself."""
+    from wtq.queries import _deciles_base
+
+    # the data-path plan (pre-checkpoint): range-partitioned sort,
+    # never a single global sort
+    base_plan = plan_string(_deciles_base(spark, SF_DIR), mode="simple")
+    assert "rangepartitioning(o_totalprice" in base_plan, base_plan[:3000]
+    assert "Exchange SinglePartition" not in base_plan
+
     df = QUERIES["order_value_deciles"](spark, SF_DIR)
     plan = plan_string(df, mode="simple")
-    # the data sort is range-partitioned (visible inside the persisted
-    # base relation), never a single global sort
-    assert "rangepartitioning(o_totalprice" in plan, plan[:3000]
     # no full-data global window: ntile/percent_rank gone from the plan
     assert "ntile" not in plan and "percent_rank" not in plan
     # every SinglePartition exchange sits directly above an aggregate
@@ -112,21 +117,35 @@ def test_deciles_no_global_single_task_sort(spark):
     assert single_idx, "expected the tiny prefix-sum/total aggregates"
     for i in single_idx:
         assert "HashAggregate" in lines[i + 1], lines[i : i + 2]
-    # the sorted/id-stamped base materializes once and is reused by all
-    # three consumers (ranks, counts, total)
-    assert plan.count("InMemoryTableScan") >= 3
+    # the sorted/id-stamped base materializes ONCE (localCheckpoint —
+    # not persist: a registry query can't own unpersist and CacheManager
+    # entries leak across a long session) and is reused by all three
+    # consumers as checkpointed-RDD scans
+    assert plan.count("Scan ExistingRDD") >= 3
     # still correct: 10 deciles
     assert df.count() == 10
 
 
 def test_ivf_kmeans_broadcasts_centroids(spark):
-    """Every k-means round and the final cell assignment join against
-    the 8-row centroid set via BroadcastHashJoin — the big embedding
-    side never shuffles for assignment (2 rounds + final assign +
-    query assign ≥ 4 broadcast joins)."""
+    """Every k-means round joins the embedding side against the 8-row
+    centroid set via broadcast, and the final corpus+query assignments
+    broadcast too.  The k-means result is localCheckpoint'ed (it feeds
+    TWO broadcast joins; un-checkpointed, Lloyd's iteration would
+    re-execute per broadcast), so its rounds are asserted on the
+    pre-checkpoint subplan and the assignments on the final plan."""
+    from wtq.operators.similarity import kmeans_centroids
+    from wtq.queries import _t
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    kplan = plan_string(kmeans_centroids(emb), mode="simple")
+    assert kplan.count("BroadcastHashJoin") + kplan.count("BroadcastNestedLoopJoin") >= 2, kplan[:2000]
+    assert "SortMergeJoin" not in kplan
+
     df = QUERIES["ann_ivf_topk"](spark, SF_DIR)
     plan = plan_string(df, mode="simple")
-    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 4, plan[:2000]
+    # corpus assignment + query assignment against the checkpointed
+    # centroid set
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
     # assignment never sort-merge-joins the embedding side on a
     # non-broadcast centroid set
     assert "SortMergeJoin" not in plan.split("Window")[0]

@@ -278,19 +278,18 @@ def test_duplicate_flood_bounded_buckets_and_expanded_clusters(spark):
     assert LSH_BUCKET_CAP >= 1000
 
 
-def test_lsh_bucket_cap_drops_oversized_bucket(spark, monkeypatch):
+def test_lsh_bucket_cap_drops_oversized_bucket(spark):
     """With the cap forced tiny, an over-cap bucket is dropped (no
     quadratic pair expansion) while normal-sized buckets still pair."""
     import wtq.operators.dedup as D
 
-    monkeypatch.setattr(D, "LSH_BUCKET_CAP", 5)
     flood = [(i, "the same viral boilerplate page body repeated everywhere") for i in range(50)]
     near = [
         (2000, "a genuinely different document about distributed query engines and shuffles"),
         (2001, "a genuinely different document about distributed query engines and exchanges"),
     ]
     df = spark.createDataFrame(flood + near, "doc_id long, text string")
-    pairs = D.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", bucket_cap=5).collect()
     docs_in_pairs = {r.doc1 for r in pairs} | {r.doc2 for r in pairs}
     # the 50-doc flood bucket (size 50 > 5) was dropped entirely...
     assert docs_in_pairs == {2000, 2001}
@@ -298,6 +297,74 @@ def test_lsh_bucket_cap_drops_oversized_bucket(spark, monkeypatch):
     # because exact-dedup-first collapsed it below the cap
     cc = {r.cluster for r in D.dedup_resolution(df, "doc_id", "text").collect()}
     assert cc == {0, 2000}
+
+
+def test_bucket_cap_mirrored_in_oracles(spark):
+    """The bucket-cap drop must be part of BOTH engines' semantics:
+    on a near-identical flood (distinct fingerprints, shared band
+    buckets — the input exact-dedup-first can NOT collapse), Spark and
+    DuckDB with the same tiny cap produce identical pair sets, and the
+    cap demonstrably fired (uncapped pairs ≫ capped pairs)."""
+    import duckdb
+    import pandas as pd
+
+    import wtq.operators.dedup as D
+
+    base = ("boilerplate navigation header about cookies privacy terms "
+            "contact careers press blog community help center status page").split()
+    rows = []
+    for i in range(12):  # 12 near-identical docs: one word swapped each
+        w = list(base)
+        w[i] = f"variant{i}"
+        rows.append((i, " ".join(w)))
+    rows += [
+        (100, "a genuinely different document about distributed query engines and shuffles"),
+        (101, "a genuinely different document about distributed query engines and exchanges"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    def spark_pairs(cap):
+        return sorted(
+            (r.doc1, r.doc2, r.n_shared_bands)
+            for r in D.minhash_lsh_pairs(df, "doc_id", "text", bucket_cap=cap).collect()
+        )
+
+    def duck_pairs(cap):
+        return sorted(
+            (int(a), int(b), int(n))
+            for a, b, n in con.execute(
+                D.sql_minhash_lsh_pairs("documents", "doc_id", "text", bucket_cap=cap)
+            ).fetchall()
+        )
+
+    capped_s, capped_d = spark_pairs(4), duck_pairs(4)
+    uncapped_s, uncapped_d = spark_pairs(D.LSH_BUCKET_CAP), duck_pairs(D.LSH_BUCKET_CAP)
+    assert capped_s == capped_d
+    assert uncapped_s == uncapped_d
+    assert len(capped_s) < len(uncapped_s)  # the cap actually fired
+
+    # simhash path: identical contract
+    def spark_sim(cap):
+        return sorted(
+            (r.doc1, r.doc2, r.hamming)
+            for r in D.simhash_near_pairs(df, "doc_id", "text", bucket_cap=cap).collect()
+        )
+
+    def duck_sim(cap):
+        return sorted(
+            (int(a), int(b), int(h))
+            for a, b, h in con.execute(
+                D.sql_simhash_near_pairs("documents", "doc_id", "text", bucket_cap=cap)
+            ).fetchall()
+        )
+
+    assert spark_sim(4) == duck_sim(4)
+    assert spark_sim(D.LSH_BUCKET_CAP) == duck_sim(D.LSH_BUCKET_CAP)
+    con.close()
 
 
 def test_ivf_kmeans_recall_vs_bruteforce(spark):

@@ -43,11 +43,13 @@ BENCH_MOD = 97           # doc_id % BENCH_MOD == 0 → doc seeds the benchmark s
 TOKEN_BUDGET = 600       # per-host token budget (non-vacuous at test SFs:
                          # hosts carry ~1.1-1.7k tokens, so roughly half are cut)
 GATE_MIN_DOCS = 3        # hosts with fewer docs than this are kept (no evidence)
-GATE_STOPWORD_MIN = 0.055  # host-level mean stopword fraction below this → drop
-                           # host (fires on 1/20 hosts at sf0.001, 4/20 at
-                           # sf0.01, with ≥1e-3 margin to the nearest host —
-                           # far above float-summation jitter on the rounded
-                           # 9-digit mean both engines compare)
+GATE_STOPWORD_MIN = 0.0575  # host-level stopword fraction below this → drop
+                            # host (fires on 1/20 hosts at sf0.001, 3/20 at
+                            # sf0.01).  The fraction is Σn_stop / Σn_words —
+                            # ONE division of exact integer sums, so the value
+                            # is bit-identical across engines, partition
+                            # orders, and cluster sizes (a mean of per-doc
+                            # doubles would depend on reduction order)
 
 
 def _words(col):
@@ -267,7 +269,12 @@ def source_quality_gate(
     dedup_apply pattern).  Hosts with < GATE_MIN_DOCS docs are kept
     (no evidence).
 
-    Returns (host, n_docs, mean_stopword_frac, gate) — gate in
+    The host signal is the doc-weighted fraction Σn_stop / Σn_words:
+    integer sums → one division → bit-identical across engines and
+    partition orders (the determinism contract above), where a mean of
+    per-doc doubles would be reduction-order-dependent.
+
+    Returns (host, n_docs, stopword_frac, gate) — gate in
     ('keep','drop') — one row per host.
     """
     from wtq.rules.lexicon import STOPWORDS
@@ -285,21 +292,18 @@ def source_quality_gate(
     )
     agg = d.groupBy("host").agg(
         F.count("*").alias("n_docs"),
-        F.round(
-            F.avg(
-                F.col("n_stop").cast("double")
-                / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
-            ),
-            9,
-        ).alias("mean_stopword_frac"),
+        (
+            F.sum("n_stop").cast("double")
+            / F.greatest(F.sum("n_words"), F.lit(1)).cast("double")
+        ).alias("stopword_frac"),
     )
     return agg.select(
         F.col("host").alias(host_col),
         "n_docs",
-        "mean_stopword_frac",
+        F.round("stopword_frac", 9).alias("stopword_frac"),
         F.when(
             (F.col("n_docs") >= GATE_MIN_DOCS)
-            & (F.col("mean_stopword_frac") < GATE_STOPWORD_MIN),
+            & (F.col("stopword_frac") < GATE_STOPWORD_MIN),
             F.lit("drop"),
         )
         .otherwise(F.lit("keep"))
@@ -317,11 +321,11 @@ WITH d AS (
   FROM documents
 ), agg AS (
   SELECT source, count(*) AS n_docs,
-         round(avg(CAST(n_stop AS DOUBLE) / greatest(n_words, 1)), 9) AS mean_stopword_frac
+         CAST(sum(n_stop) AS DOUBLE) / greatest(sum(n_words), 1) AS stopword_frac
   FROM d GROUP BY source
 )
-SELECT source, n_docs, mean_stopword_frac,
-       CASE WHEN n_docs >= {GATE_MIN_DOCS} AND mean_stopword_frac < {GATE_STOPWORD_MIN}
+SELECT source, n_docs, round(stopword_frac, 9) AS stopword_frac,
+       CASE WHEN n_docs >= {GATE_MIN_DOCS} AND stopword_frac < {GATE_STOPWORD_MIN}
             THEN 'drop' ELSE 'keep' END AS gate
 FROM agg
 """

@@ -187,28 +187,35 @@ def _band_strs() -> Column:
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+# Max docs per LSH bucket before the bucket is dropped instead of
+# pair-expanded.  A bucket only exceeds this when MANY near-identical
+# documents share a band value; the exact-dedup-first discipline in
+# dedup_resolution already collapses byte-identical floods, so an
+# overflow here means a near-but-not-exact boilerplate flood — whose
+# C(n,2) pair expansion is exactly what must not run.  Cap² bounds the
+# worst-case per-bucket pair volume (~500k pairs at 1000).  The oracle
+# SQL applies the IDENTICAL cap (same drop, same unit), so the
+# cross-engine differential holds on flood inputs too.
+LSH_BUCKET_CAP = 1000
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Candidate near-duplicate pairs via banding: docs sharing ALL row
     minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
-    doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244)."""
+    doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244).
+
+    Buckets with more than `bucket_cap` docs are dropped, not
+    pair-expanded (see LSH_BUCKET_CAP); `sql_minhash_lsh_pairs`
+    mirrors the cap so both engines drop exactly the same buckets."""
     # NOTE: do NOT filter on the signature column here — a filter
     # referencing the UDF output gets pushed below the repartition and
     # Catalyst materializes a SECOND ArrowEvalPython over the unsplit
     # scan (measured: the whole signature pass re-ran serially).
     # Shingle-less docs are dropped at the bucket level instead, where
     # the Generate node blocks pushdown.
-    sig = minhash_signatures(df, id_col, text_col)
-    # band buckets straight from the signature array — still narrow;
-    # the ONLY shuffle in the whole operator is the bucket equi-join
-    band_strs = _band_strs()
-    # sentinel docs (no shingles) carry minvals == P in every slot; real
-    # minvals are always < P, so their buckets are exactly ":P,…,P" —
-    # dropping those buckets removes them from pairing entirely (the
-    # explode-form oracle simply emits no rows for such docs)
-    sentinel_bucket = ":" + ",".join([str(MINHASH_P)] * LSH_ROWS)
-    buckets = sig.select(
-        F.col(id_col).alias("doc"), F.explode(band_strs).alias("bucket")
-    ).filter(~F.col("bucket").endswith(sentinel_bucket))
+    buckets = _minhash_buckets(df, id_col, text_col)
     # Within-bucket pairs via ONE aggregation + double explode instead
     # of a bucket self-join: a self-join duplicates the whole upstream
     # subtree, so the signature UDF would run TWICE (measured 2× the
@@ -231,7 +238,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     grouped = (
         buckets.groupBy("bucket")
         .agg(F.collect_list("doc").alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= LSH_BUCKET_CAP))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= bucket_cap))
     )
     pairs = (
         grouped.select(F.explode("docs").alias("doc"), F.col("docs"))
@@ -243,28 +250,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return pairs
 
 
-# Max docs per LSH bucket before the bucket is dropped instead of
-# pair-expanded.  A bucket only exceeds this when MANY near-identical
-# documents share a band value; the exact-dedup-first discipline in
-# dedup_resolution already collapses byte-identical floods, so an
-# overflow here means a near-but-not-exact boilerplate flood — whose
-# C(n,2) pair expansion is exactly what must not run.  Cap² bounds the
-# worst-case per-bucket pair volume (~500k pairs at 1000).
-LSH_BUCKET_CAP = 1000
+def _minhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, bucket) band-bucket rows — the shared derivation behind
+    pair generation AND the occupancy audit (one definition, so the
+    audit always reports on exactly the buckets pairing builds).
+
+    Sentinel docs (no shingles) carry minvals == P in every slot; real
+    minvals are always < P, so their buckets are exactly ":P,…,P" —
+    dropping those buckets removes them from pairing entirely (the
+    explode-form oracle simply emits no rows for such docs).  Still
+    narrow: the ONLY shuffle in the operator is downstream of this."""
+    sig = minhash_signatures(df, id_col, text_col)
+    sentinel_bucket = ":" + ",".join([str(MINHASH_P)] * LSH_ROWS)
+    return sig.select(
+        F.col(id_col).alias("doc"), F.explode(_band_strs()).alias("bucket")
+    ).filter(~F.col("bucket").endswith(sentinel_bucket))
 
 
 def lsh_bucket_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Bucket-occupancy audit for minhash LSH: one row per bucket size
     with the number of buckets that size and whether they exceed
     LSH_BUCKET_CAP — the observability hook for the cap's drop path."""
-    sig = minhash_signatures(df, id_col, text_col)
-    band_strs = _band_strs()
-    sentinel_bucket = ":" + ",".join([str(MINHASH_P)] * LSH_ROWS)
-    buckets = sig.select(
-        F.col(id_col).alias("doc"), F.explode(band_strs).alias("bucket")
-    ).filter(~F.col("bucket").endswith(sentinel_bucket))
     return (
-        buckets.groupBy("bucket")
+        _minhash_buckets(df, id_col, text_col)
+        .groupBy("bucket")
         .agg(F.count("*").alias("bucket_size"))
         .groupBy("bucket_size")
         .agg(F.count("*").alias("n_buckets"))
@@ -513,7 +522,7 @@ def _sql_dedup_labels(table: str, id_col: str, text_col: str) -> str:
     derivation that proves the rep-first optimization preserves the
     full-graph semantics (identical docs have identical signatures, so
     the components coincide)."""
-    pairs = sql_minhash_lsh_pairs(table, id_col, text_col)
+    pairs = sql_minhash_lsh_pairs(table, id_col, text_col, cap_unit="fingerprints")
     return f"""pairs AS ({pairs}),
     fp_groups AS (
       SELECT {id_col} AS node,
@@ -628,8 +637,36 @@ def sql_exact_duplicates(table: str, id_col: str, text_col: str) -> str:
     """
 
 
-def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str) -> str:
+def sql_minhash_lsh_pairs(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    cap_unit: str = "docs",
+) -> str:
+    """Oracle for minhash_lsh_pairs, INCLUDING the bucket cap — both
+    engines drop exactly the same oversized buckets, so the
+    differential holds on duplicate-flood inputs.
+
+    cap_unit:
+      "docs"         — bucket size = raw member count.  Mirrors calling
+                       minhash_lsh_pairs directly on a corpus (the
+                       standalone registry query).
+      "fingerprints" — bucket size = count of DISTINCT md5({text_col})
+                       among members.  Mirrors the exact-dedup-first
+                       path (dedup_resolution), where Spark's buckets
+                       hold one representative per fingerprint: a
+                       byte-identical flood inflates raw member counts
+                       but not rep counts, and the cap must see what
+                       Spark's buckets see."""
     perm_rows = ", ".join(f"({i}, {PERM_A[i]}, {PERM_B[i]})" for i in range(N_PERM))
+    if cap_unit == "docs":
+        bsz = "SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket"
+    elif cap_unit == "fingerprints":
+        bsz = f"""SELECT b.bucket, count(DISTINCT md5(t.{text_col})) AS n
+      FROM buckets b JOIN {table} t ON t.{id_col} = b.doc GROUP BY b.bucket"""
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown cap_unit {cap_unit!r}")
     return f"""
     WITH sh AS (
       SELECT {id_col} AS doc, unnest(list_distinct({_sql_shingles(text_col)})) AS shingle
@@ -650,9 +687,14 @@ def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str) -> str:
               string_agg(CAST(minval AS VARCHAR), ',' ORDER BY perm_id)) AS bucket
       FROM banded GROUP BY doc, band
     ),
+    bsz AS ({bsz}),
+    kept AS (
+      SELECT doc, bucket FROM buckets JOIN bsz USING (bucket)
+      WHERE n <= {bucket_cap}
+    ),
     pairs AS (
       SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_shared_bands
-      FROM buckets a JOIN buckets b USING (bucket)
+      FROM kept a JOIN kept b USING (bucket)
       WHERE a.doc < b.doc
       GROUP BY 1, 2
     )
@@ -736,14 +778,20 @@ SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 6
 assert HAMMING_MAX < SIMHASH_BANDS
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Near-duplicate pairs by SimHash banding: candidates share one
     SIMHASH_BAND_BITS-bit chunk (6 bands × 10 bits — equi-join, never
     a cross join), then exact Hamming distance via bit_count(xor).
     Canonical doc1 < doc2.
 
     Recall contract: exact for hamming <= HAMMING_MAX (= SIMHASH_BANDS-1,
-    pigeonhole over disjoint bands)."""
+    pigeonhole over disjoint bands) — among pairs whose buckets stay
+    within `bucket_cap`.  Like minhash_lsh_pairs, chunk buckets larger
+    than the cap (duplicate floods sharing a band value) are dropped,
+    not quadratically expanded, and the oracle applies the identical
+    cap so both engines drop the same buckets."""
     sig = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), F.col("simhash")
     )
@@ -773,7 +821,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     grouped = (
         chunks.groupBy("band", "chunk")
         .agg(F.collect_list(F.struct("doc", "simhash")).alias("ms"))
-        .filter(F.size("ms") >= 2)
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
     return (
         grouped.select(F.explode("ms").alias("a"), F.col("ms"))
@@ -789,7 +837,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def sql_simhash_near_pairs(table: str, id_col: str, text_col: str) -> str:
+def sql_simhash_near_pairs(
+    table: str, id_col: str, text_col: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> str:
     sim = sql_simhash(table, id_col, text_col)
     return f"""
     WITH sig AS ({sim}),
@@ -798,9 +848,13 @@ def sql_simhash_near_pairs(table: str, id_col: str, text_col: str) -> str:
              (simhash >> (j * {SIMHASH_BAND_BITS})) & {2**SIMHASH_BAND_BITS - 1} AS chunk
       FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS j)
       WHERE simhash IS NOT NULL
+    ),
+    kept AS (
+      SELECT doc, simhash, band, chunk FROM chunks
+      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= {bucket_cap}
     )
     SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM chunks a JOIN chunks b USING (band, chunk)
+    FROM kept a JOIN kept b USING (band, chunk)
     WHERE a.doc < b.doc AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """

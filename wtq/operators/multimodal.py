@@ -176,18 +176,23 @@ def video_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf[id_col]:
-                blob = encode_video(synth_video(int(doc_id)))
-                frames = list(iter_video_frames(blob))
-                sampled = frames[::FRAME_STEP]
-                mean_r = float(
-                    np.mean([f[:, :, 0].astype(np.float64).mean() for f in sampled])
-                )
-                rows.append((int(doc_id), len(frames), round(mean_r, 6)))
+            rows = [
+                (int(doc_id),) + _video_feature_row(int(doc_id))
+                for doc_id in pdf[id_col]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields])
 
     return df.select(F.col(id_col)).mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+
+
+def _video_feature_row(doc_id: int) -> tuple:
+    """(n_frames, sampled_mean_r) — the ONE definition of the video
+    features, shared by video_features and media_features so the two
+    paths cannot drift."""
+    frames = list(iter_video_frames(encode_video(synth_video(doc_id))))
+    sampled = frames[::FRAME_STEP]
+    mean_r = float(np.mean([f[:, :, 0].astype(np.float64).mean() for f in sampled]))
+    return (len(frames), round(mean_r, 6))
 
 
 def sql_video_features(table: str, id_col: str = "doc_id") -> str:
@@ -282,25 +287,29 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf[id_col]:
-                blob = encode_wav(synth_audio(int(doc_id)))
-                s, rate = decode_wav(blob)
-                v = s.astype(np.int64)
-                sum_sq = int((v * v).sum())
-                zc = int(((v[:-1] * v[1:]) < 0).sum())
-                rows.append(
-                    (
-                        int(doc_id),
-                        len(s),
-                        len(s) * 1000 // rate,
-                        round(float(np.sqrt(sum_sq / float(len(s)))), 6),
-                        zc,
-                    )
-                )
+            rows = [
+                (int(doc_id),) + _audio_feature_row(int(doc_id))
+                for doc_id in pdf[id_col]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
 
     return df.select(F.col(id_col)).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def _audio_feature_row(doc_id: int) -> tuple:
+    """(n_samples, duration_ms, rms, zero_crossings) — the ONE
+    definition of the audio features, shared by audio_features and
+    media_features."""
+    s, rate = decode_wav(encode_wav(synth_audio(doc_id)))
+    v = s.astype(np.int64)
+    sum_sq = int((v * v).sum())
+    zc = int(((v[:-1] * v[1:]) < 0).sum())
+    return (
+        len(s),
+        len(s) * 1000 // rate,
+        round(float(np.sqrt(sum_sq / float(len(s)))), 6),
+        zc,
+    )
 
 
 def sql_audio_features(table: str, id_col: str = "doc_id") -> str:
@@ -333,25 +342,30 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf[id_col]:
-                blob = encode_ppm(synth_image(int(doc_id)))
-                img = decode_ppm(blob)
-                h, w, _ = img.shape
-                means = img.astype(np.float64).mean(axis=(0, 1))
-                small = block_mean_resize(img)
-                rows.append(
-                    (
-                        int(doc_id), w, h,
-                        round(float(means[0]), 6),
-                        round(float(means[1]), 6),
-                        round(float(means[2]), 6),
-                        round(float(small[0, 0, 0]), 6),
-                    )
-                )
+            rows = [
+                (int(doc_id),) + _image_feature_row(int(doc_id))
+                for doc_id in pdf[id_col]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return df.select(F.col(id_col)).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def _image_feature_row(doc_id: int) -> tuple:
+    """(width, height, mean_r, mean_g, mean_b, small_px0_r) — the ONE
+    definition of the image features, shared by image_features and
+    media_features."""
+    img = decode_ppm(encode_ppm(synth_image(doc_id)))
+    h, w, _ = img.shape
+    means = img.astype(np.float64).mean(axis=(0, 1))
+    small = block_mean_resize(img)
+    return (
+        w, h,
+        round(float(means[0]), 6),
+        round(float(means[1]), 6),
+        round(float(means[2]), 6),
+        round(float(small[0, 0, 0]), 6),
+    )
 
 
 def sql_image_features(table: str, id_col: str = "doc_id") -> str:
@@ -454,40 +468,13 @@ def media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id in pdf[id_col]:
-                doc_id = int(doc_id)
-                # image
-                img = decode_ppm(encode_ppm(synth_image(doc_id)))
-                h, w, _ = img.shape
-                means = img.astype(np.float64).mean(axis=(0, 1))
-                small = block_mean_resize(img)
-                # audio
-                s, rate = decode_wav(encode_wav(synth_audio(doc_id)))
-                v = s.astype(np.int64)
-                sum_sq = int((v * v).sum())
-                zc = int(((v[:-1] * v[1:]) < 0).sum())
-                # video
-                frames = list(iter_video_frames(encode_video(synth_video(doc_id))))
-                sampled = frames[::FRAME_STEP]
-                mean_fr = float(
-                    np.mean([f[:, :, 0].astype(np.float64).mean() for f in sampled])
-                )
-                rows.append(
-                    (
-                        doc_id, w, h,
-                        round(float(means[0]), 6),
-                        round(float(means[1]), 6),
-                        round(float(means[2]), 6),
-                        round(float(small[0, 0, 0]), 6),
-                        len(s),
-                        len(s) * 1000 // rate,
-                        round(float(np.sqrt(sum_sq / float(len(s)))), 6),
-                        zc,
-                        len(frames),
-                        round(mean_fr, 6),
-                    )
-                )
+            rows = [
+                (int(doc_id),)
+                + _image_feature_row(int(doc_id))
+                + _audio_feature_row(int(doc_id))
+                + _video_feature_row(int(doc_id))
+                for doc_id in pdf[id_col]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
 
     return df.select(F.col(id_col)).mapInPandas(run, MEDIA_FEATURES_SCHEMA)

@@ -309,7 +309,14 @@ def ivf_topk(
     candidate-generation pattern with a LEARNED coarse key.  Each
     neighbor lives in exactly one cell, so multi-probe candidates never
     duplicate."""
-    cents = kmeans_centroids(emb, id_col, vec_col)
+    # materialize the k-means result ONCE: it is broadcast into two
+    # separate joins (corpus assignment + query assignment), and an
+    # un-checkpointed plan would re-execute the whole Lloyd's iteration
+    # over the full embedding set per broadcast — the duplicated-
+    # subtree cost connected_components/dedup_resolution eliminate the
+    # same way.  The centroid set is IVF_CELLS rows, so the checkpoint
+    # is trivially small.
+    cents = kmeans_centroids(emb, id_col, vec_col).localCheckpoint(eager=True)
     assigned = (
         emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec"))
         .join(F.broadcast(cents))

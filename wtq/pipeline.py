@@ -150,8 +150,6 @@ def decide(pages: DataFrame, num_partitions: int | None = None, dedup: bool = Tr
     stats = {k: s[k] for k in STAT_FIELDS}
     fired = H.fired_rules_expr(
         stats,
-        rep_line_frac=s["rep_line_frac"],
-        top_word_frac=s["top_word_frac"],
         lang_mismatch=(s["pred_lang"] != F.col("lang")) & (s["lang_margin"] >= MARGIN_MIN),
         ppl=s["ppl"],
         profanity_hits=s["n_profanity"],

@@ -57,8 +57,6 @@ from wtq.rules.lexicon import STOPWORDS
 
 def fired_rules_expr(
     stats: dict[str, Column],
-    rep_line_frac: Column,
-    top_word_frac: Column,
     lang_mismatch: Column,
     ppl: Column,
     profanity_hits: Column,
@@ -78,10 +76,10 @@ def fired_rules_expr(
         ),
         (stats["symbol_ratio"] > R.SYMBOL_WORD_RATIO_MAX, "Q-4"),
         (stats["stopword_frac"] < R.STOPWORD_FRAC_MIN, "Q-6"),
-        (rep_line_frac > R.REP_LINE_FRAC_MAX, "Q-7"),
+        (stats["rep_line_frac"] > R.REP_LINE_FRAC_MAX, "Q-7"),
         (stats["bullet_frac"] > R.BULLET_LINE_FRAC_MAX, "Q-8"),
         (stats["ellipsis_frac"] > R.ELLIPSIS_LINE_FRAC_MAX, "Q-9"),
-        (top_word_frac > R.TOP_WORD_FRAC_MAX, "Q-10"),
+        (stats["top_word_frac"] > R.TOP_WORD_FRAC_MAX, "Q-10"),
         (stats["brace_line_frac"] > R.BRACE_LINE_FRAC_MAX, "Q-11"),
         (stats["has_lorem"] > 0, "Q-12"),
         *[(stats[field] > thresh, code) for code, field, thresh in R.REPETITION_RULES],
