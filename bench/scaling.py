@@ -171,7 +171,9 @@ def main() -> None:
 
 Input: synthetic pages derived from `{sf_dir}` (replicate={replicate},
 {r2['n_docs']} docs after re-crawl dedup). Same job, same input, three
-parallelism levels, fresh JVM each, best-of-3 (noisy-neighbor VM).
+parallelism levels, fresh JVM each; two interleaved passes over
+(2, 8, 32), best per level — interleaving keeps minutes-scale host
+drift from handing each level a different machine (noisy-neighbor VM).
 Sink = decisions table (the north metric is FILTER throughput; the
 full scrub/langid/perplexity/stats compute runs either way).
 
@@ -197,8 +199,8 @@ their OWN cores, so per-executor capacity is constant; on this VM the
 burn shows the hardware itself cannot reach 0.8 there.  Both rows are
 reported so the original-criterion number stays visible.
 
-Heavy operator shapes at the same three levels (best-of-3 wall sec;
-2→8 efficiency = (t₂/t₈)/4):
+Heavy operator shapes at the same three levels (best-of-2 interleaved
+wall sec; 2→8 efficiency = (t₂/t₈)/4):
 
 | operator | local[2] | local[8] | local[32] | 2→8 efficiency |
 |---|---|---|---|---|

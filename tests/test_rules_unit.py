@@ -111,6 +111,28 @@ def test_cascaded_repetition_stats_equal_reference_forms():
             assert got[f"dup_{n}gram_frac"] == H.py_dup_ngram_frac(words, n), (text, n)
 
 
+def test_cascaded_repetition_stats_equal_reference_forms_hypothesis():
+    """Property form of the equivalence: arbitrary word sequences from
+    a small alphabet (maximizing collisions/ties) over varied word
+    lengths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.sampled_from(["a", "bb", "ccc", "d", "ee", "a b"]), max_size=40))
+    def check(tokens):
+        # "a b" injects a token that SPLITS into two words, covering
+        # multi-word interactions of the text round-trip too
+        words = H.py_words(" ".join(tokens))
+        got = H._py_repetition_stats(words)
+        for n in (2, 3, 4):
+            assert got[f"top_{n}gram_frac"] == H.py_top_ngram_frac(words, n)
+        for n in range(5, 11):
+            assert got[f"dup_{n}gram_frac"] == H.py_dup_ngram_frac(words, n)
+
+    check()
+
+
 def test_repetition_rules_in_registry():
     codes = {r.code for r in R.RULES}
     assert {c for c, _, _ in R.REPETITION_RULES} <= codes
