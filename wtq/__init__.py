@@ -41,6 +41,11 @@ def __getattr__(name):
         "streaming_pipeline": ("wtq.streaming.ingest", "streaming_pipeline"),
         "compact_parquet": ("wtq.sources.files", "compact_parquet"),
         "text_metrics": ("wtq.operators.text", "text_metrics"),
+        "decontaminate": ("wtq.operators.curation", "decontaminate"),
+        "benchmark_grams": ("wtq.operators.curation", "benchmark_grams"),
+        "incremental_corpus_dedup": ("wtq.operators.curation", "incremental_corpus_dedup"),
+        "token_budget_sample": ("wtq.operators.curation", "token_budget_sample"),
+        "source_quality_gate": ("wtq.operators.curation", "source_quality_gate"),
         "media_features": ("wtq.operators.multimodal", "media_features"),
         "image_features_safe": ("wtq.operators.multimodal", "image_features_safe"),
         "quarantine_split": ("wtq.operators.multimodal", "quarantine_split"),
