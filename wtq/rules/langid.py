@@ -15,9 +15,12 @@ oracle, so predictions agree exactly.
 from __future__ import annotations
 
 import math
+import re
 from functools import lru_cache
 
 from wtq.rules.lexicon import LANG_WORDS
+
+_CJK_RE = re.compile(r"[一-鿿]")
 
 _LANGS = sorted(LANG_WORDS)  # deterministic order: de, en, es, fr, zh
 
@@ -55,7 +58,9 @@ def _profiles() -> dict[str, dict[str, float]]:
 def _cjk_fraction(s: str) -> float:
     if not s:
         return 0.0
-    n = sum(1 for ch in s if "一" <= ch <= "鿿")
+    # compiled char-class scan (C speed) == the per-char range test;
+    # on the non-CJK common case this is one pass with zero matches
+    n = len(_CJK_RE.findall(s))
     return n / len(s)
 
 

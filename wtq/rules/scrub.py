@@ -35,6 +35,15 @@ PHONE_TOKEN = "[PHONE]"
 IP_TOKEN = "[IP]"
 PROFANITY_TOKEN = "[CENSORED]"
 
+# Necessary-substring pre-checks: each pattern cannot match without
+# its anchor class, and `in` / a 1-char regex scan is ~10× cheaper
+# than running the full pattern over a clean document (the common
+# case).  Skipping on a failed pre-check is EXACTLY equivalent to
+# subn() finding nothing — the byte-identity contract is unaffected
+# (and the oracle shares this very function anyway).
+_HAS_DIGIT = re.compile(r"\d")
+_PROFANITY_LOWER = tuple(w.lower() for w in PROFANITY_WORDS)
+
 
 class ScrubResult(NamedTuple):
     text: str
@@ -54,10 +63,15 @@ def scrub_text(text: str) -> ScrubResult:
     would otherwise confuse the phone pattern)."""
     if text is None:
         return ScrubResult("", 0, 0, 0, 0)
-    out, n_email = EMAIL_RE.subn(EMAIL_TOKEN, text)
-    out, n_phone = PHONE_RE.subn(PHONE_TOKEN, out)
-    out, n_ip = IPV4_RE.subn(IP_TOKEN, out)
-    out, n_prof = PROFANITY_RE.subn(PROFANITY_TOKEN, out)
+    out, n_email, n_phone, n_ip, n_prof = text, 0, 0, 0, 0
+    if "@" in out:  # EMAIL_RE requires a literal '@'
+        out, n_email = EMAIL_RE.subn(EMAIL_TOKEN, out)
+    if _HAS_DIGIT.search(out):  # PHONE_RE and IPV4_RE both require digits
+        out, n_phone = PHONE_RE.subn(PHONE_TOKEN, out)
+        out, n_ip = IPV4_RE.subn(IP_TOKEN, out)
+    lower = out.lower()
+    if any(w in lower for w in _PROFANITY_LOWER):  # presence ⊇ \b-bounded match
+        out, n_prof = PROFANITY_RE.subn(PROFANITY_TOKEN, out)
     return ScrubResult(out, n_email, n_phone, n_ip, n_prof)
 
 
