@@ -113,6 +113,7 @@ def main() -> None:
         "incremental_corpus_dedup",
         "token_budget_sample",
         "source_quality_gate",
+        "strip_boilerplate",
     ]
     q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
     from wtq.queries import EXTRA_QUERIES

@@ -130,6 +130,48 @@ class TestTokenBudgetSample:
         assert a == b and a  # non-empty and partition-count-invariant
 
 
+class TestStripBoilerplate:
+    def test_hot_lines_stripped_order_preserved(self, spark):
+        banner = "subscribe to our newsletter today"
+        rows = [
+            # 4 docs (> df_cap=3) carry the banner at differing positions
+            (0, banner + "\nunique zero content here", "s"),
+            (1, "unique one content here\n" + banner, "s"),
+            (2, banner + "\nunique two content here\nmore two", "s"),
+            (3, "unique three a\n" + banner + "\nunique three b", "s"),
+            # a line shared by only 2 docs stays (df 2 <= cap 3)
+            (4, "shared pair line\nunique four", "s"),
+            (5, "shared pair line\nunique five", "s"),
+            # a doc that is ONLY boilerplate → empty rebuild
+            (6, banner, "s"),
+        ]
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in C.strip_boilerplate_lines(_docs(spark, rows)).collect()
+        }
+        assert out[0] == ("unique zero content here", 1)
+        assert out[1] == ("unique one content here", 1)
+        assert out[2] == ("unique two content here\nmore two", 1)
+        # order preserved around the stripped middle line
+        assert out[3] == ("unique three a\nunique three b", 1)
+        assert out[4] == ("shared pair line\nunique four", 0)
+        assert out[5] == ("shared pair line\nunique five", 0)
+        assert out[6] == ("", 1)
+
+    def test_within_doc_repeats_count_once_for_df(self, spark):
+        # a line repeated INSIDE one doc has doc-frequency 1, not 3
+        rows = [(0, "echo\necho\necho\nbody", "s"), (1, "other text", "s")]
+        out = {r["doc_id"]: r["n_removed"]
+               for r in C.strip_boilerplate_lines(_docs(spark, rows), df_cap=1).collect()}
+        assert out == {0: 0, 1: 0}
+
+    def test_every_input_doc_gets_a_row(self, spark):
+        rows = [(i, f"text {i}", "s") for i in range(7)] + [(7, "", "s")]
+        res = C.strip_boilerplate_lines(_docs(spark, rows)).collect()
+        assert sorted(r["doc_id"] for r in res) == list(range(8))
+        assert [r["clean_text"] for r in res if r["doc_id"] == 7] == [""]
+
+
 class TestSourceQualityGate:
     def test_stopword_free_host_dropped(self, spark):
         rows = (

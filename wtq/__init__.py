@@ -46,6 +46,7 @@ def __getattr__(name):
         "incremental_corpus_dedup": ("wtq.operators.curation", "incremental_corpus_dedup"),
         "token_budget_sample": ("wtq.operators.curation", "token_budget_sample"),
         "source_quality_gate": ("wtq.operators.curation", "source_quality_gate"),
+        "strip_boilerplate_lines": ("wtq.operators.curation", "strip_boilerplate_lines"),
         "media_features": ("wtq.operators.multimodal", "media_features"),
         "image_features_safe": ("wtq.operators.multimodal", "image_features_safe"),
         "quarantine_split": ("wtq.operators.multimodal", "quarantine_split"),

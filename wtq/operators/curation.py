@@ -311,6 +311,112 @@ def source_quality_gate(
     )
 
 
+BOILERPLATE_DF_CAP = 3   # lines appearing in more docs than this are boilerplate
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    df_cap: int = BOILERPLATE_DF_CAP,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (the C4/CCNet line-dedup pass):
+    lines appearing in more than `df_cap` DISTINCT documents
+    (navigation chrome, cookie banners, legal footers) are stripped
+    from every document, and the text is rebuilt in original line
+    order.  Unlike the keep/drop operators this REWRITES content from
+    corpus-level statistics — the reference's tag-cleaning analog
+    (water.lua:84-221) at corpus scope instead of per-record scope.
+
+    Returns (doc_id, clean_text, n_removed) for every input document
+    (clean_text = '' when every line was boilerplate).
+
+    Scale shape: lines explode narrowly; the doc-frequency aggregate
+    shuffles 16-byte md5(line) digests, never line text; the hot set
+    is tiny by construction (boilerplate is what repeats) → broadcast
+    left-anti; the rebuild groups by doc id.  Two well-keyed shuffles
+    total, no self-joins.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("k", F.md5("line"))
+    )
+    hot = (
+        lines.select("doc", "k")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("doc_df"))
+        .filter(F.col("doc_df") > df_cap)
+        .select("k")
+    )
+    kept = lines.join(F.broadcast(hot), "k", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("doc").agg(F.count("*").alias("n_lines"))
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(totals, "doc", "left")
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+# The documents fixture has single-line texts, so the registry demo
+# chunks each text into 10-word pseudo-lines first (both engines use
+# the identical derivation); the operator itself runs on real '\n'
+# lines (pages corpus — see tests/test_curation.py planted cases).
+BOILERPLATE_CHUNK_WORDS = 10
+
+SQL_STRIP_BOILERPLATE = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*{BOILERPLATE_CHUNK_WORDS}+1 : i*{BOILERPLATE_CHUNK_WORDS}+{BOILERPLATE_CHUNK_WORDS}], ' ') AS line
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws)/{BOILERPLATE_CHUNK_WORDS}.0) AS INT) - 1)) AS i
+  ) s
+  WHERE len(ws) > 0
+), hot AS (
+  SELECT line FROM chunks GROUP BY line HAVING count(DISTINCT doc_id) > {BOILERPLATE_DF_CAP}
+), kept AS (
+  SELECT c.* FROM chunks c WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = c.line)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, '\n' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_lines FROM chunks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(t.n_lines, 0) - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def _sql_source_quality_gate(stop_sql: str) -> str:
     return f"""
 WITH d AS (

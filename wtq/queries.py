@@ -1236,6 +1236,33 @@ def q_source_quality_gate(spark, sf_dir):
     return C.source_quality_gate(_t(spark, sf_dir, "documents"))
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Corpus-wide boilerplate line removal (C4/CCNet pass): lines in
+    more than BOILERPLATE_DF_CAP distinct docs are stripped and texts
+    rebuilt in order.  The documents fixture is single-line, so both
+    engines first chunk each text into 10-word pseudo-lines with the
+    identical derivation; the operator itself runs on real newline
+    lines (planted-case tests use the pages corpus shape)."""
+    from wtq.operators import curation as C
+
+    d = _t(spark, sf_dir, "documents")
+    n = C.BOILERPLATE_CHUNK_WORDS
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    chunked = F.when(
+        F.size(ws) > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(ws) / F.lit(float(n))).cast("int") - 1),
+                lambda i: F.array_join(F.slice(ws, i * n + 1, n), " "),
+            ),
+            "\n",
+        ),
+    ).otherwise("")
+    return C.strip_boilerplate_lines(
+        d.select("doc_id", chunked.alias("text")), "doc_id", "text"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -1370,6 +1397,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_corpus_dedup": q_incremental_corpus_dedup,
     "token_budget_sample": q_token_budget_sample,
     "source_quality_gate": q_source_quality_gate,
+    "strip_boilerplate": q_strip_boilerplate,
 }
 
 EXTRA_ORACLE_SQL: dict[str, str] = {
@@ -1377,6 +1405,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "incremental_corpus_dedup": _C.SQL_INCREMENTAL_CORPUS_DEDUP,
     "token_budget_sample": _C.SQL_TOKEN_BUDGET_SAMPLE,
     "source_quality_gate": _C._sql_source_quality_gate(_STOP_SQL),
+    "strip_boilerplate": _C.SQL_STRIP_BOILERPLATE,
 }
 
 assert set(EXTRA_QUERIES) == set(EXTRA_ORACLE_SQL)
