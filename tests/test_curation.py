@@ -158,6 +158,31 @@ class TestStripBoilerplate:
         assert out[5] == ("shared pair line\nunique five", 0)
         assert out[6] == ("", 1)
 
+    def test_empty_lines_preserved_and_clean_docs_roundtrip(self, spark):
+        # paragraph breaks (empty lines) are structure, never
+        # boilerplate: a corpus with no hot lines round-trips
+        # byte-identically, including blank lines and trailing newline
+        rows = [
+            (0, "para one\n\npara two\n", "s"),
+            (1, "solo line", "s"),
+            (2, "a\n\n\nb", "s"),
+        ]
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in C.strip_boilerplate_lines(_docs(spark, rows)).collect()}
+        assert out == {
+            0: ("para one\n\npara two\n", 0),
+            1: ("solo line", 0),
+            2: ("a\n\n\nb", 0),
+        }
+
+    def test_line_sep_is_literal_not_regex(self, spark):
+        # '.' as a separator must split on periods, not on every char
+        rows = [(i, "common seg.unique %d" % i, "s") for i in range(5)]
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in C.strip_boilerplate_lines(
+                   _docs(spark, rows), line_sep=".", df_cap=3).collect()}
+        assert out[0] == ("unique 0", 1)  # 'common seg' (df 5 > 3) stripped
+
     def test_within_doc_repeats_count_once_for_df(self, spark):
         # a line repeated INSIDE one doc has doc-frequency 1, not 3
         rows = [(0, "echo\necho\necho\nbody", "s"), (1, "other text", "s")]

@@ -154,6 +154,33 @@ def test_scrub_pii():
     assert "@" not in r.text
 
 
+def test_scrub_precheck_equals_raw_regex_form():
+    """The fast-path pre-checks must be invisible: scrub_text ==
+    running the four subn() calls unconditionally, INCLUDING on
+    adversarial Unicode where (?i) full case folding matches ASCII
+    lexicon words through non-ASCII characters (the review-caught
+    evasion: lower()-substring pre-checks are unsound off-ASCII)."""
+    import wtq.rules.scrub as S
+
+    def raw(t):
+        out, a = S.EMAIL_RE.subn(S.EMAIL_TOKEN, t)
+        out, b = S.PHONE_RE.subn(S.PHONE_TOKEN, out)
+        out, c = S.IPV4_RE.subn(S.IP_TOKEN, out)
+        out, d = S.PROFANITY_RE.subn(S.PROFANITY_TOKEN, out)
+        return S.ScrubResult(out, a, b, c, d)
+
+    cases = [
+        "", "no pii at all", "a@b.co", "(212) 555-1234", "10.0.0.1", "damn",
+        "mixed a@b.co 10.0.0.1 (212) 555-1234 damn",
+        # Unicode case-folding evasions (must still be censored)
+        "baſtard", "İDİOT", "ſ damn ſ", "ÉMAIL notanemail",
+        # non-ASCII text with no profanity (regex path, no match)
+        "texte français sans gros mots é ü ñ",
+    ]
+    for t in cases:
+        assert scrub_text(t) == raw(t), t
+
+
 def test_scrub_idempotent(pages_pdf):
     """scrub(scrub(x)) == scrub(x) byte-for-byte (SURVEY.md §5.4)."""
     for t in pages_pdf["text"].head(100):

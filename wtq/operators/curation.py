@@ -330,31 +330,40 @@ def strip_boilerplate_lines(
     (water.lua:84-221) at corpus scope instead of per-record scope.
 
     Returns (doc_id, clean_text, n_removed) for every input document
-    (clean_text = '' when every line was boilerplate).
+    (clean_text = '' when every line was boilerplate).  Empty lines
+    (paragraph breaks, trailing newlines) are never counted as
+    boilerplate and are preserved in place, so a document with no hot
+    lines round-trips byte-identically.
 
     Scale shape: lines explode narrowly; the doc-frequency aggregate
-    shuffles 16-byte md5(line) digests, never line text; the hot set
-    is tiny by construction (boilerplate is what repeats) → broadcast
-    left-anti; the rebuild groups by doc id.  Two well-keyed shuffles
-    total, no self-joins.
+    shuffles 16-byte md5(line) digests, never line text; the anti join
+    against the hot set is left un-hinted — at test scale AQE converts
+    it to a broadcast join at runtime, while at corpus scale the hot
+    set grows with the corpus (every line in > df_cap docs) and a
+    forced broadcast would collect an unbounded set to the driver; a
+    production run raises df_cap toward a corpus-share threshold
+    and/or lets the join shuffle digests.  All shuffles are keyed on
+    digests or doc ids, no self-joins.
     """
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
-        )
-        .filter(F.col("line") != "")
-        .withColumn("k", F.md5("line"))
-    )
+    # line_sep is a LITERAL separator: F.split takes a Java regex, so
+    # quote it (\Q…\E) — an unescaped '.' or '|' would split on every
+    # character and shred the text
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+        ).alias("pos", "line"),
+    ).withColumn("k", F.md5("line"))
     hot = (
-        lines.select("doc", "k")
+        lines.filter(F.col("line") != "")  # empties are structure, never boilerplate
+        .select("doc", "k")
         .distinct()
         .groupBy("k")
         .agg(F.count("*").alias("doc_df"))
         .filter(F.col("doc_df") > df_cap)
         .select("k")
     )
-    kept = lines.join(F.broadcast(hot), "k", "left_anti")
+    kept = lines.join(hot, "k", "left_anti")
     rebuilt = kept.groupBy("doc").agg(
         F.array_join(
             F.transform(

@@ -1247,7 +1247,7 @@ def q_strip_boilerplate(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     n = C.BOILERPLATE_CHUNK_WORDS
-    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ws = C._words(F.col("text"))  # the shared tokenization the oracle mirrors
     chunked = F.when(
         F.size(ws) > 0,
         F.array_join(

@@ -38,9 +38,16 @@ PROFANITY_TOKEN = "[CENSORED]"
 # Necessary-substring pre-checks: each pattern cannot match without
 # its anchor class, and `in` / a 1-char regex scan is ~10× cheaper
 # than running the full pattern over a clean document (the common
-# case).  Skipping on a failed pre-check is EXACTLY equivalent to
-# subn() finding nothing — the byte-identity contract is unaffected
-# (and the oracle shares this very function anyway).
+# case).  EMAIL/PHONE/IP patterns are case-insensitive-free, so the
+# '@' / digit pre-checks are exactly equivalent to subn() finding
+# nothing.  The profanity pattern is (?i): Python re's FULL case
+# folding lets non-ASCII characters match ASCII letters (ſ→s, K→k,
+# İ→i), so a lower()-substring test is NOT sound on non-ASCII text —
+# the fast path is therefore gated on text.isascii(), where (?i) over
+# the ASCII lexicon reduces exactly to lowercase substring presence;
+# non-ASCII text always runs the full pattern.  The byte-identity
+# contract is unaffected either way (the oracle shares this very
+# function).
 _HAS_DIGIT = re.compile(r"\d")
 _PROFANITY_LOWER = tuple(w.lower() for w in PROFANITY_WORDS)
 
@@ -69,9 +76,14 @@ def scrub_text(text: str) -> ScrubResult:
     if _HAS_DIGIT.search(out):  # PHONE_RE and IPV4_RE both require digits
         out, n_phone = PHONE_RE.subn(PHONE_TOKEN, out)
         out, n_ip = IPV4_RE.subn(IP_TOKEN, out)
-    lower = out.lower()
-    if any(w in lower for w in _PROFANITY_LOWER):  # presence ⊇ \b-bounded match
+    if not out.isascii():
+        # Unicode case folding can match ASCII lexicon words through
+        # non-ASCII characters — no cheap sound pre-check exists here
         out, n_prof = PROFANITY_RE.subn(PROFANITY_TOKEN, out)
+    else:
+        lower = out.lower()
+        if any(w in lower for w in _PROFANITY_LOWER):  # ASCII: presence ⊇ (?i)\b match
+            out, n_prof = PROFANITY_RE.subn(PROFANITY_TOKEN, out)
     return ScrubResult(out, n_email, n_phone, n_ip, n_prof)
 
 
