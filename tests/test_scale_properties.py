@@ -214,7 +214,14 @@ def test_bucketed_join_avoids_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_connected_components_deep_chain(spark):
+# max_edges=default exercises the single-task union-find fast path;
+# max_edges=0 forces the distributed pointer-jumping loop — both
+# strategies must satisfy every CC contract.
+_CC_PATHS = [("single_task", None), ("distributed", 0)]
+
+
+@pytest.mark.parametrize("path,max_edges", _CC_PATHS, ids=[p[0] for p in _CC_PATHS])
+def test_connected_components_deep_chain(spark, path, max_edges):
     """A 200-node chain (diameter 199 >> CC_MAX_ITERS=20) must still
     converge — pointer jumping doubles reach per round, so convergence
     is O(log diameter), and the old one-hop variant would raise here."""
@@ -223,12 +230,14 @@ def test_connected_components_deep_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "doc1 long, doc2 long"
     )
-    cc = connected_components(pairs).collect()
+    kw = {} if max_edges is None else {"single_task_max_edges": max_edges}
+    cc = connected_components(pairs, **kw).collect()
     assert len(cc) == 200
     assert {r.cluster for r in cc} == {0}
 
 
-def test_connected_components_string_ids(spark):
+@pytest.mark.parametrize("path,max_edges", _CC_PATHS, ids=[p[0] for p in _CC_PATHS])
+def test_connected_components_string_ids(spark, path, max_edges):
     """Node ids are any orderable type — url-keyed near-dup graphs are
     strings.  (The numeric label-sum convergence check this replaced
     crashed on exactly this input.)"""
@@ -237,8 +246,29 @@ def test_connected_components_string_ids(spark):
     pairs = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")], "doc1 string, doc2 string"
     )
-    cc = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    kw = {} if max_edges is None else {"single_task_max_edges": max_edges}
+    cc = {r.node: r.cluster for r in connected_components(pairs, **kw).collect()}
     assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    """The single-task union-find and the distributed pointer-jumping
+    loop are two physical strategies for ONE logical operator — on a
+    seeded random graph (stars, chains, triangles, singleton-free)
+    their (node, cluster) outputs must be identical."""
+    import random
+
+    from wtq.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    fast = sorted(map(tuple, connected_components(pairs).collect()))
+    dist = sorted(
+        map(tuple, connected_components(pairs, single_task_max_edges=0).collect())
+    )
+    assert fast == dist
 
 
 def test_duplicate_flood_bounded_buckets_and_expanded_clusters(spark):

@@ -348,7 +348,63 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, top_n: int = 
 CC_MAX_ITERS = 20
 
 
-def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "doc2") -> DataFrame:
+# Edge-count ceiling for the single-task union-find fast path.  The
+# economics are the broadcast-join argument applied to graphs: 5M
+# (src, dst) id pairs is well under a gigabyte in one task's memory,
+# and ONE task doing an O(E α(E)) union-find beats O(log diameter)
+# rounds of distributed hash joins over the same data on ANY cluster
+# size — each pointer-jumping round costs at least one full shuffle of
+# the edge set plus a driver synchronization.  Above the ceiling the
+# distributed pointer-jumping loop engages (the 100 TB path: the LSH
+# pair graph can approach corpus size on a duplicate-saturated crawl).
+CC_SINGLE_TASK_MAX_EDGES = 5_000_000
+
+
+def _cc_union_find(edges: DataFrame) -> DataFrame:
+    """Single-task exact CC: union-find with path compression over the
+    whole (coalesced) edge list.  Output identical to the distributed
+    path: (node, cluster = min reachable id), covering every node that
+    appears in an edge.  Result is edge-order-independent: roots are
+    re-resolved in a final pass and each component's label is its
+    minimum member id.  The id type (int keys, string urls) rides
+    through from the edge schema."""
+    dt = edges.schema["src"].dataType.simpleString()
+    schema = f"node {dt}, cluster {dt}"
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for pdf in batches:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                nodes.add(s)
+                nodes.add(d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by MIN id: the root of any set is always
+                    # its smallest member, so the final label needs no
+                    # separate min pass
+                    parent[max(rs, rd)] = min(rs, rd)
+        out = sorted(nodes)
+        yield pd.DataFrame({"node": out, "cluster": [find(n) for n in out]})
+
+    return edges.coalesce(1).mapInPandas(uf, schema)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc1",
+    b_col: str = "doc2",
+    single_task_max_edges: int = CC_SINGLE_TASK_MAX_EDGES,
+) -> DataFrame:
     """Resolve near-duplicate PAIRS into CLUSTERS: (node, cluster)
     where cluster = min node id reachable through the pair graph.
 
@@ -359,23 +415,38 @@ def connected_components(pairs: DataFrame, a_col: str = "doc1", b_col: str = "do
     (group by geom having count>1, proccess_data.sql:204-213) to a
     similarity GRAPH.
 
-    Algorithm: min-label propagation with POINTER JUMPING — each round
-    every node takes min(own label, neighbors' labels), then shortcuts
-    to its label's label (path halving).  Rounds = O(log diameter),
-    not O(diameter): a 1M-node chain converges in ~20 rounds instead
-    of 1M (the Hash-to-Min / GraphFrames construction).  Each round is
-    distributed hash joins; the driver only reads one scalar per round
-    — the SUM of labels, which strictly decreases until convergence
-    (labels only ever decrease), a cheaper check than a change-count
-    join.  localCheckpoint truncates lineage so plan size stays O(1)
-    per round.
-    """
+    Two physical strategies behind one contract (the broadcast-join
+    pattern applied to graphs — pick the plan by measured size):
+
+    * edge count ≤ `single_task_max_edges` → ONE mapInPandas task runs
+      union-find over the coalesced edge list (`_cc_union_find`).  The
+      pair graph is duplicate-volume-sized — orders of magnitude
+      smaller than the corpus after exact-dedup-first + the LSH bucket
+      cap — so this is the common case even at large corpus scale, and
+      a single O(E α(E)) task strictly beats log-diameter shuffle
+      rounds on the same edges.
+    * larger graphs → min-label propagation with POINTER JUMPING —
+      each round every node takes min(own label, neighbors' labels),
+      then shortcuts to its label's label (path halving).  Rounds =
+      O(log diameter), not O(diameter): a 1M-node chain converges in
+      ~20 rounds instead of 1M (the Hash-to-Min / GraphFrames
+      construction).  Each round is distributed hash joins; the driver
+      reads one scalar per round (the count of changed labels).
+      localCheckpoint truncates lineage so plan size stays O(1) per
+      round.
+
+    The edge count that picks the strategy is read from the
+    materialized edge checkpoint — one cheap count on 16-byte ids, the
+    same runtime-statistics discipline AQE uses to pick join
+    strategies."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= single_task_max_edges:
+        return _cc_union_find(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -455,34 +526,42 @@ def dedup_resolution(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(text_col).alias("__text"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("fp"),
     )
-    # Representative id AND text in ONE aggregation: min(struct(id,
-    # text)) orders by id first, so the group minimum carries its own
-    # text through the shuffle as an agg buffer — map-side partial min
-    # keeps at most one text per fingerprint per mapper (a duplicate
-    # flood dedupes before it ever shuffles), and no second join is
-    # needed to recover the representative's text.  A window over the
-    # full corpus would shuffle EVERY text byte; this shuffles at most
-    # the deduped corpus.
-    groups = docs.groupBy("fp").agg(
-        F.min(F.struct("node", "__text")).alias("m"),
+    # TEXT NEVER ENTERS THE FINGERPRINT SHUFFLE.  The group
+    # aggregation runs over (fp, node) only — 16-byte digests plus
+    # ids — so even on a mostly-unique corpus the exchange moves a
+    # few dozen bytes per document, not the document.  (The round-3
+    # form aggregated min(struct(node, text)), which shuffled every
+    # text byte once on a unique corpus: map-side partial min only
+    # collapses *duplicates*.  Measured 2.3× slower at sf0.1.)
+    groups = docs.select("node", "fp").groupBy("fp").agg(
+        F.min("node").alias("rep"),
         F.count("*").alias("n_fp"),
     )
-    # two consumers (reps + membership) — truncate so the scan +
-    # fingerprint agg runs once
+    # two consumers (rep text recovery + membership) — truncate so
+    # the scan + fingerprint agg runs once
     groups = groups.localCheckpoint(eager=True)
-    reps = groups.select(F.col("m.node").alias(id_col), F.col("m.__text").alias(text_col))
+    # The multi subset (fingerprints with ≥2 members) is
+    # duplicate-volume-sized — tiny on a mostly-unique corpus, so AQE
+    # broadcasts it into both joins below and text never shuffles at
+    # all; on a duplicate-saturated corpus it degrades to a plain
+    # equi-join, still linear.
+    multi = groups.filter(F.col("n_fp") >= 2).select("fp", "rep", "n_fp")
+    # Rep text recovery WITHOUT a corpus-sized join: a document is a
+    # representative iff its fingerprint is a singleton (no `multi`
+    # row) or it IS the group minimum — one left join against the
+    # small `multi` side, then a filter.  Only the LSH stage ever
+    # sees rep text, and it arrives join-free on the unique path.
+    reps = (
+        docs.join(multi.select("fp", "rep"), "fp", "left")
+        .filter(F.col("rep").isNull() | (F.col("node") == F.col("rep")))
+        .select(F.col("node").alias(id_col), F.col("__text").alias(text_col))
+    )
     cc = connected_components(minhash_lsh_pairs(reps, id_col, text_col)).select(
         F.col("node").alias("rep"), F.col("cluster").alias("cc_cluster")
     )
     # Re-expansion joins against ONLY the multi-member fingerprint
     # groups: a singleton node IS its own representative, so it needs
-    # no mapping row.  The multi subset is duplicate-volume-sized (tiny
-    # on a mostly-unique corpus → AQE broadcasts it and the id stream
-    # never shuffles; on a duplicate-saturated corpus it degrades to a
-    # plain equi-join, still linear).
-    multi = groups.filter(F.col("n_fp") >= 2).select(
-        "fp", F.col("m.node").alias("rep"), "n_fp"
-    )
+    # no mapping row.
     membership = (
         docs.select("node", "fp")
         .join(multi, "fp", "left")
