@@ -20,7 +20,7 @@ WORDS13 = " ".join(f"w{i}" for i in range(13))
 class TestDecontaminate:
     def test_planted_contamination_detected(self, spark):
         rows = [
-            # benchmark doc (97 | doc_id): its first 13-gram is the bench gram
+            # benchmark doc (BENCH_MOD | doc_id): ALL its 13-grams are bench grams
             (0, WORDS13 + " tail tail", "s"),
             # contaminated: contains the bench gram mid-document
             (1, "lead " + WORDS13 + " more", "s"),
@@ -37,14 +37,14 @@ class TestDecontaminate:
 
     def test_benchmark_docs_never_flagged(self, spark):
         # two benchmark docs sharing a gram must not flag each other
-        rows = [(0, WORDS13, "s"), (97, WORDS13 + " t", "s")]
+        rows = [(0, WORDS13, "s"), (7, WORDS13 + " t", "s")]
         assert C.decontaminate(_docs(spark, rows)).count() == 0
 
     def test_multiple_distinct_hits_counted(self, spark):
         g2 = " ".join(f"y{i}" for i in range(13))
         rows = [
             (0, WORDS13, "s"),
-            (97, g2, "s"),
+            (7, g2, "s"),
             (1, WORDS13 + " glue " + g2, "s"),
         ]
         [(doc, hits)] = [

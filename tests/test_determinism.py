@@ -34,7 +34,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.mark.parametrize("name", QUERIES_TO_CHECK)
 def test_result_invariant_under_shuffle_width(spark, name):
-    from wtq.queries import QUERIES
+    from wtq.queries import EXTRA_QUERIES
+    from wtq.queries import QUERIES as _REGISTERED
+
+    # the check spans the registered AND the extra registry — rotation
+    # between them must not drop a query from this gate
+    QUERIES = {**_REGISTERED, **EXTRA_QUERIES}
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     def run():

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 
 # ---- shared constants (Spark AND oracle SQL are generated from these) ----
 DECONTAM_K = 13          # n-gram size, the C4/GPT-3 decontamination convention
-BENCH_MOD = 97           # doc_id % BENCH_MOD == 0 → doc seeds the benchmark set
+BENCH_MOD = 7            # doc_id % BENCH_MOD == 0 → doc seeds the benchmark set
+                         # (7, not 97: with the fixture's 500-doc tables a
+                         # sparser split made the self-contained query
+                         # VACUOUS at sf0.01 — 0 contaminated rows — and a
+                         # 0-row driver correctness row proves nothing)
 TOKEN_BUDGET = 600       # per-host token budget (non-vacuous at test SFs:
                          # hosts carry ~1.1-1.7k tokens, so roughly half are cut)
 GATE_MIN_DOCS = 3        # hosts with fewer docs than this are kept (no evidence)
@@ -86,10 +90,14 @@ def decontaminate(
 
     `benchmark` is a 1-column DataFrame of gram digests (build one
     from benchmark texts with `benchmark_grams`).  When None, a
-    self-contained split is used per the no-external-data rule: the
-    first 13-gram of every doc with numeric id % 97 == 0 plays the
-    role of a held-out eval question, and those docs are excluded
-    from the output (a benchmark doc cannot contaminate itself).
+    self-contained split is used per the no-external-data rule: EVERY
+    13-gram of each doc with numeric id % BENCH_MOD == 0 plays the
+    role of held-out eval material (the full-document protocol of the
+    GPT-3 appendix, not just a leading question), and those docs are
+    excluded from the output (a benchmark doc cannot contaminate
+    itself).  All-grams membership keeps the query non-vacuous on the
+    fixture: near-duplicate pages share mid-document windows, which a
+    first-gram-only benchmark missed entirely at sf0.01.
 
     Returns (doc_id, n_hits): contaminated docs and how many distinct
     benchmark grams they contain.
@@ -104,7 +112,14 @@ def decontaminate(
     if benchmark is None:
         bench = (
             ws.filter(F.col("doc") % BENCH_MOD == 0)
-            .select(F.md5(F.array_join(F.slice("ws", 1, DECONTAM_K), " ")).alias("g"))
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (DECONTAM_K - 1)),
+                        lambda i: F.md5(F.array_join(F.slice("ws", i, DECONTAM_K), " ")),
+                    )
+                ).alias("g")
+            )
             .distinct()
         )
         ws = ws.filter(F.col("doc") % BENCH_MOD != 0)
@@ -133,8 +148,11 @@ WITH w AS (
 ), w13 AS (
   SELECT * FROM w WHERE len(ws) >= {DECONTAM_K}
 ), bench AS (
-  SELECT DISTINCT md5(array_to_string(ws[1:{DECONTAM_K}], ' ')) AS g
-  FROM w13 WHERE doc_id % {BENCH_MOD} = 0
+  SELECT DISTINCT md5(array_to_string(ws[i:i+{DECONTAM_K - 1}], ' ')) AS g
+  FROM w13, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - {DECONTAM_K - 1})) AS i
+  ) b
+  WHERE doc_id % {BENCH_MOD} = 0
 ), grams AS (
   SELECT doc_id, md5(array_to_string(ws[i:i+{DECONTAM_K - 1}], ' ')) AS g
   FROM w13, LATERAL (
