@@ -131,11 +131,11 @@ def main() -> None:
     # 5309 and 6197 docs/sec twenty minutes apart, which alone moves
     # the 2→8 efficiency reading by 0.1.
     def best(a: dict, b: dict) -> dict:
-        merged = dict(a if a["docs_per_sec"] >= b["docs_per_sec"] else b)
-        merged["ops_sec"] = {
-            k: min(a["ops_sec"][k], b["ops_sec"][k]) for k in a.get("ops_sec", {})
-        }
-        return merged
+        # the whole winning PASS is reported — pipeline docs_per_sec
+        # AND that same pass's per-op seconds, so every published row
+        # is one run's coherent measurement (mixing per-op minima
+        # across passes would fabricate a run nobody executed)
+        return dict(a if a["docs_per_sec"] >= b["docs_per_sec"] else b)
 
     passes = []
     for i in range(2):

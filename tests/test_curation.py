@@ -73,6 +73,19 @@ class TestExplicitSideInputs:
         out = C.decontaminate(docs, "url", "text", benchmark=bench).collect()
         assert [(r["url"], r["n_hits"]) for r in out] == [("https://a/1", 1)]
 
+    def test_decontaminate_rejects_multicolumn_benchmark(self, spark):
+        # a multi-column benchmark frame would either fail with an
+        # opaque arity error or silently misuse a reordered column —
+        # reject it loudly instead
+        import pytest
+
+        docs = spark.createDataFrame(
+            [("https://a/1", WORDS13)], "url string, text string"
+        )
+        bad = spark.createDataFrame([("g1", "extra")], "g string, extra string")
+        with pytest.raises(ValueError, match="1-column"):
+            C.decontaminate(docs, "url", "text", benchmark=bad)
+
     def test_incremental_dedup_with_explicit_corpus(self, spark):
         new = spark.createDataFrame(
             [("u1", "known text"), ("u2", "fresh text"), ("u3", "fresh text")],

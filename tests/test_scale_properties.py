@@ -308,6 +308,20 @@ def test_duplicate_flood_bounded_buckets_and_expanded_clusters(spark):
     assert LSH_BUCKET_CAP >= 1000
 
 
+def test_lsh_bucket_stats_audits_caller_supplied_cap(spark):
+    """The audit must flag over_cap against the SAME cap the pair
+    generator ran with — with bucket_cap=5, the 50-doc flood bucket
+    reads as over the cap even though the default cap would not."""
+    import wtq.operators.dedup as D
+
+    flood = [(i, "the same viral boilerplate page body repeated everywhere") for i in range(50)]
+    df = spark.createDataFrame(flood, "doc_id long, text string")
+    stats = D.lsh_bucket_stats(df, "doc_id", "text", bucket_cap=5).collect()
+    assert any(r.over_cap for r in stats if r.bucket_size == 50)
+    default_stats = D.lsh_bucket_stats(df, "doc_id", "text").collect()
+    assert not any(r.over_cap for r in default_stats)
+
+
 def test_lsh_bucket_cap_drops_oversized_bucket(spark):
     """With the cap forced tiny, an over-cap bucket is dropped (no
     quadratic pair expansion) while normal-sized buckets still pair."""

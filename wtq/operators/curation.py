@@ -124,6 +124,12 @@ def decontaminate(
         )
         ws = ws.filter(F.col("doc") % BENCH_MOD != 0)
     else:
+        if len(benchmark.columns) != 1:
+            raise ValueError(
+                "decontaminate: `benchmark` must be a 1-column DataFrame of "
+                f"gram digests (got columns {benchmark.columns}); build one "
+                "with benchmark_grams(), or select the digest column first"
+            )
         bench = benchmark.toDF("g")
     grams = ws.select(
         "doc",
@@ -184,9 +190,13 @@ def incremental_corpus_dedup(
     numeric id parity partitions the input into "existing corpus"
     (even) and "new crawl" (odd).
 
-    Returns (fingerprint, doc_id): one surviving representative (min
-    doc_id) per novel fingerprint.  Left-anti is the J7 pattern
-    (proccess_data.sql:422-423 "already reported" filter).
+    Returns (fingerprint, doc_id): one surviving representative per
+    novel fingerprint — min(id) under the id column's NATURAL
+    ordering, i.e. numeric for integer ids but LEXICOGRAPHIC for
+    string ids ('u10' < 'u2'; zero-pad or pre-rank upstream if you
+    need numeric order on string keys).  Deterministic either way.
+    Left-anti is the J7 pattern (proccess_data.sql:422-423 "already
+    reported" filter).
     """
     fp = lambda c: F.md5(F.col(c))  # noqa: E731
     d = df.select(F.col(id_col).alias("doc"), fp(text_col).alias("fingerprint"))
@@ -232,6 +242,10 @@ def token_budget_sample(
     its scale-safe (partitioned) form.
 
     Returns (doc_id, host, n_tokens, cum_tokens) for kept docs.
+    Ordering within a host is md5(id-as-string) with the raw id as
+    tie-break — the tie-break uses the id column's NATURAL ordering
+    (lexicographic for string ids), though ties require an md5
+    collision, so in practice the hash alone decides.
     """
     d = df.select(
         F.col(id_col).alias("doc"),

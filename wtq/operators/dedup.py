@@ -267,17 +267,22 @@ def _minhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(~F.col("bucket").endswith(sentinel_bucket))
 
 
-def lsh_bucket_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lsh_bucket_stats(
+    df: DataFrame, id_col: str, text_col: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Bucket-occupancy audit for minhash LSH: one row per bucket size
     with the number of buckets that size and whether they exceed
-    LSH_BUCKET_CAP — the observability hook for the cap's drop path."""
+    `bucket_cap` — the observability hook for the cap's drop path.
+    Pass the SAME bucket_cap given to minhash_lsh_pairs /
+    simhash_near_pairs, or the over_cap flag audits a different cap
+    than the one that dropped buckets."""
     return (
         _minhash_buckets(df, id_col, text_col)
         .groupBy("bucket")
         .agg(F.count("*").alias("bucket_size"))
         .groupBy("bucket_size")
         .agg(F.count("*").alias("n_buckets"))
-        .withColumn("over_cap", F.col("bucket_size") > LSH_BUCKET_CAP)
+        .withColumn("over_cap", F.col("bucket_size") > bucket_cap)
     )
 
 
