@@ -80,9 +80,12 @@ def main() -> None:
 
     # best-of-3: the VM throttles under sustained load (the same warm
     # job has measured 5s and 75s minutes apart)
+    pipeline_samples: list[float] = []
     pipeline_sec, n_docs = one_pipeline_run()
+    pipeline_samples.append(pipeline_sec)
     for _ in range(2):
         sec_i, _ = one_pipeline_run()
+        pipeline_samples.append(sec_i)
         pipeline_sec = min(pipeline_sec, sec_i)
     shutil.rmtree(out, ignore_errors=True)
     docs_per_sec = n_docs / pipeline_sec
@@ -107,8 +110,7 @@ def main() -> None:
         "media_features",
         "ann_ivf_topk",
         "order_value_deciles",
-        # round-3 curation extras (EXTRA registry — beyond the driver's
-        # 50-entry correctness cap but benched like first-class ops)
+        # curation family (driver-registered since round 4)
         "decontaminate",
         "incremental_corpus_dedup",
         "token_budget_sample",
@@ -116,22 +118,39 @@ def main() -> None:
         "strip_boilerplate",
     ]
     q_times: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
+    q_samples: dict[str, list[float]] = {
+        "pipeline": [round(s, 3) for s in pipeline_samples]
+    }
     from wtq.queries import EXTRA_QUERIES
 
     QUERIES = {**QUERIES, **EXTRA_QUERIES}
     for name in headline:
-        best = None
         # best-of-3: the VM throttles under sustained load — the same
         # warm query has measured 2.3s and 9.7s minutes apart, so two
         # samples are not enough to reliably catch a clean one
+        samples = []
         for _ in range(3):
             t0 = time.time()
             # full collect (results are small) so no column gets pruned away
             n = len(QUERIES[name](spark, sf_dir).collect())
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        q_times[name] = round(best, 3)
-        log(f"{name}: {q_times[name]}s ({n} rows)")
+            samples.append(time.time() - t0)
+        q_times[name] = round(min(samples), 3)
+        q_samples[name] = [round(s, 3) for s in samples]
+        log(f"{name}: {q_times[name]}s ({n} rows) samples={q_samples[name]}")
+
+    # Noise summary so round-over-round comparisons can tell drift from
+    # regression: rel_spread = (max - min) / min per query over the 3
+    # warm samples.  A query whose round delta is inside its own spread
+    # is noise, not a code change.
+    spreads = {
+        name: round((max(s) - min(s)) / min(s), 3) for name, s in q_samples.items()
+    }
+    ranked = sorted(spreads.values())
+    noise = {
+        "median_rel_spread": ranked[len(ranked) // 2],
+        "max_rel_spread": max(spreads.items(), key=lambda kv: kv[1]),
+    }
+    log(f"noise: {noise}")
 
     print(
         json.dumps(
@@ -140,6 +159,9 @@ def main() -> None:
                 "value": round(docs_per_sec, 1),
                 "unit": "docs/sec",
                 "queries": q_times,
+                "query_samples": q_samples,
+                "rel_spread": spreads,
+                "noise": noise,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "n_docs": n_docs,

@@ -155,9 +155,9 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     """The benchmark gram set is tiny by construction — it must enter
     the plan as a broadcast (never a shuffled sort-merge join), and the
     gram explosion must never become a cartesian product."""
-    from wtq.queries import EXTRA_QUERIES
+    from wtq.queries import QUERIES
 
-    df = EXTRA_QUERIES["decontaminate"](spark, SF_DIR)
+    df = QUERIES["decontaminate"](spark, SF_DIR)
     plan = plan_string(df, mode="simple")
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan
@@ -168,9 +168,9 @@ def test_token_budget_window_is_host_partitioned(spark):
     """The running-sum window must be partitioned by host — a global
     (SinglePartition) window would serialize the whole corpus through
     one task at scale."""
-    from wtq.queries import EXTRA_QUERIES
+    from wtq.queries import QUERIES
 
-    df = EXTRA_QUERIES["token_budget_sample"](spark, SF_DIR)
+    df = QUERIES["token_budget_sample"](spark, SF_DIR)
     plan = plan_string(df, mode="simple")
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "hashpartitioning(host" in plan, plan[:3000]

@@ -125,7 +125,12 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.repartition(num_partitions, F.col("url"))
 
 
-def decide(pages: DataFrame, num_partitions: int | None = None, dedup: bool = True) -> DataFrame:
+def decide(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    dedup: bool = True,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Full per-document decision DF.
 
     Columns: url, warc_ts, lang, text (scrubbed), n_words, pred_lang,
@@ -137,8 +142,12 @@ def decide(pages: DataFrame, num_partitions: int | None = None, dedup: bool = Tr
     shuffle — → salted murmur3(url) repartition → window dedup (reuses
     the exchange: ClusteredDistribution(url) already satisfied) →
     Arrow score pass → threshold expressions (codegen).
+
+    `carry_cols` are extra input columns (e.g. curation-lineage
+    counters added by a pre-pass) that ride through unchanged into the
+    output projection.
     """
-    pages = pages.select("url", "warc_ts", "text", "lang")
+    pages = pages.select("url", "warc_ts", "text", "lang", *carry_cols)
     if num_partitions:
         pages = salted_repartition(pages, num_partitions)
     if dedup:
@@ -170,6 +179,7 @@ def decide(pages: DataFrame, num_partitions: int | None = None, dedup: bool = Tr
             (s["n_email"] + s["n_phone"] + s["n_ip"] + s["n_profanity"]).alias("n_scrub_edits"),
             F.spark_partition_id().alias("partition_id"),
             fired.alias("fired_rules"),
+            *[F.col(c) for c in carry_cols],
         )
         .withColumn("keep", F.size("fired_rules") == 0)
     )
@@ -191,13 +201,23 @@ def scrubbed_view(decided: DataFrame) -> DataFrame:
 
 def metrics_view(decided: DataFrame) -> DataFrame:
     """Per-partition lineage rows — the role-histogram/conditional-count
-    pattern (proccess_data.sql:180-195, SURVEY.md §2.4 A5)."""
-    return decided.groupBy("partition_id").agg(
+    pattern (proccess_data.sql:180-195, SURVEY.md §2.4 A5).
+
+    Conservation invariant: n_input = n_keep + n_drop always; with the
+    host gate enabled n_drop further splits as n_drop = rule-dropped +
+    n_host_gated.  Curation-lineage columns appear only when the
+    corresponding pipeline flag added them."""
+    aggs = [
         F.count("*").alias("n_input"),
         F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
         F.count(F.when(~F.col("keep"), 1)).alias("n_drop"),
         F.sum("n_scrub_edits").alias("n_scrub_edits"),
-    )
+    ]
+    if "n_boiler_removed" in decided.columns:
+        aggs.append(F.sum("n_boiler_removed").alias("n_boiler_lines_removed"))
+    if "host_gated" in decided.columns:
+        aggs.append(F.count(F.when(F.col("host_gated"), 1)).alias("n_host_gated"))
+    return decided.groupBy("partition_id").agg(*aggs)
 
 
 def rule_fire_counts(decided: DataFrame, registry: DataFrame) -> DataFrame:
@@ -211,6 +231,9 @@ def rule_fire_counts(decided: DataFrame, registry: DataFrame) -> DataFrame:
 @dataclass
 class PipelineResult:
     decided: DataFrame
+    # host-gate verdict table (host, n_docs, stopword_frac, gate) —
+    # populated only when run_pipeline(host_gate=True)
+    gate_table: DataFrame | None = None
 
     @property
     def decisions(self) -> DataFrame:
@@ -225,6 +248,80 @@ class PipelineResult:
         return metrics_view(self.decided)
 
 
-def run_pipeline(spark, pages_path: str, num_partitions: int | None = None) -> PipelineResult:
+def _host(col: str = "url") -> Column:
+    """The url's authority component (scheme://host) — the curation
+    grouping key for domain-level passes."""
+    return F.substring_index(F.col(col), "/", 3)
+
+
+def run_pipeline(
+    spark,
+    pages_path: str,
+    num_partitions: int | None = None,
+    strip_boilerplate: bool = False,
+    host_gate: bool = False,
+) -> PipelineResult:
+    """The quality-filter pipeline, with the corpus-curation passes as
+    optional pre/post stages behind flags (default OFF — the default
+    plan and outputs are byte-identical to the flagless pipeline, and
+    the north-rule scrub/keep-drop differential gates that path):
+
+    * ``strip_boilerplate``: corpus-wide C4/CCNet boilerplate-line
+      removal BEFORE scoring — re-crawl dedup first (line statistics
+      must not double-count re-crawls), then
+      ``strip_boilerplate_lines`` rewrites each text and the per-doc
+      removed-line count rides into the output (`n_boiler_removed`)
+      and metrics (`n_boiler_lines_removed`).
+    * ``host_gate``: domain-level quality gate AFTER scoring — host
+      verdicts are aggregated from the raw corpus (a second pruned
+      scan of the url/text columns: cheaper than checkpointing the
+      Arrow-scored stream just to reuse it, and the domain signal is
+      defined on the crawl, not on scrubbed survivors), the
+      broadcast-sized drop list is joined back, and `host_gated`
+      marks rule-keepers whose host failed: keep := keep ∧ ¬gated, so
+      n_input = n_keep + rule-dropped + n_host_gated exactly.
+    """
     pages = spark.read.parquet(pages_path)
-    return PipelineResult(decide(pages, num_partitions=num_partitions))
+    carry: tuple[str, ...] = ()
+    if strip_boilerplate:
+        from wtq.operators.curation import strip_boilerplate_lines
+
+        base = pages.select("url", "warc_ts", "text", "lang")
+        if num_partitions:
+            base = salted_repartition(base, num_partitions)
+        base = dedup_recrawls(base)
+        sb = strip_boilerplate_lines(base.select("url", "text"), "url", "text")
+        base = (
+            base.drop("text")
+            .join(sb, "url")
+            .withColumnRenamed("clean_text", "text")
+            .withColumnRenamed("n_removed", "n_boiler_removed")
+        )
+        carry = ("n_boiler_removed",)
+        # repartition/dedup already applied above
+        decided = decide(base, num_partitions=None, dedup=False, carry_cols=carry)
+    else:
+        decided = decide(pages, num_partitions=num_partitions)
+
+    gate_table = None
+    if host_gate:
+        from wtq.operators.curation import source_quality_gate
+
+        raw = pages.select("url", "text").withColumn("host", _host())
+        gate_table = source_quality_gate(raw, "url", "text", "host")
+        drop_hosts = (
+            gate_table.filter(F.col("gate") == "drop")
+            .select("host")
+            .withColumn("__gated", F.lit(True))
+        )
+        decided = (
+            decided.withColumn("host", _host())
+            .join(F.broadcast(drop_hosts), "host", "left")
+            .withColumn(
+                "host_gated",
+                F.coalesce(F.col("__gated"), F.lit(False)) & F.col("keep"),
+            )
+            .drop("__gated", "host")
+            .withColumn("keep", F.col("keep") & ~F.col("host_gated"))
+        )
+    return PipelineResult(decided, gate_table=gate_table)
