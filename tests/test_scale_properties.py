@@ -322,9 +322,10 @@ def test_lsh_bucket_stats_audits_caller_supplied_cap(spark):
     assert not any(r.over_cap for r in default_stats)
 
 
-def test_lsh_bucket_cap_drops_oversized_bucket(spark):
-    """With the cap forced tiny, an over-cap bucket is dropped (no
-    quadratic pair expansion) while normal-sized buckets still pair."""
+def test_lsh_bucket_cap_degrades_to_star_edges(spark):
+    """With the cap forced tiny, an over-cap bucket emits LINEAR star
+    edges (bucket-min ↔ member) instead of C(n,2) all-pairs, while
+    normal-sized buckets still pair fully."""
     import wtq.operators.dedup as D
 
     flood = [(i, "the same viral boilerplate page body repeated everywhere") for i in range(50)]
@@ -334,13 +335,57 @@ def test_lsh_bucket_cap_drops_oversized_bucket(spark):
     ]
     df = spark.createDataFrame(flood + near, "doc_id long, text string")
     pairs = D.minhash_lsh_pairs(df, "doc_id", "text", bucket_cap=5).collect()
-    docs_in_pairs = {r.doc1 for r in pairs} | {r.doc2 for r in pairs}
-    # the 50-doc flood bucket (size 50 > 5) was dropped entirely...
-    assert docs_in_pairs == {2000, 2001}
-    # ...but dedup_resolution still recovers the flood as ONE cluster,
-    # because exact-dedup-first collapsed it below the cap
+    flood_pairs = [r for r in pairs if r.doc1 < 2000]
+    # star, not clique: 49 edges (0, i) — never 50·49/2 = 1225
+    assert len(flood_pairs) == 49
+    assert all(r.doc1 == 0 for r in flood_pairs)
+    # normal-sized buckets still emit ordinary pairs
+    assert any(r.doc1 == 2000 and r.doc2 == 2001 for r in pairs)
+    # and the clusters are fully recovered either way
     cc = {r.cluster for r in D.dedup_resolution(df, "doc_id", "text").collect()}
     assert cc == {0, 2000}
+
+
+def test_lsh_cap_recall(spark):
+    """Quantifies the cap's recall cost on a NEAR-identical flood (the
+    case exact-dedup-first cannot collapse: every doc differs by one
+    token, so fingerprints are all distinct).  Round 3 dropped the
+    whole bucket — cluster recall 0 on this corpus.  The star rule
+    keeps cluster-level recall at exactly 1.0 by construction, and
+    this test measures both levels against an uncapped run."""
+    import wtq.operators.dedup as D
+
+    base = "the same viral boilerplate page body repeated everywhere across mirror sites"
+    n = 120
+    df = spark.createDataFrame(
+        [(i, f"{base} mirror{i}") for i in range(n)], "doc_id long, text string"
+    )
+    uncapped = {
+        (r.doc1, r.doc2) for r in D.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.doc1, r.doc2)
+        for r in D.minhash_lsh_pairs(df, "doc_id", "text", bucket_cap=20).collect()
+    }
+    # every capped pair is a true candidate (star ⊆ uncapped)
+    assert capped <= uncapped
+    # pair-level recall is partial — that is the accepted cost...
+    pair_recall = len(capped) / len(uncapped)
+    assert 0 < pair_recall < 1
+    # ...but cluster-level recall is 1.0: the SAME components emerge
+    def comps(pairs):
+        return sorted(
+            map(
+                tuple,
+                D.connected_components(
+                    spark.createDataFrame(list(pairs), "doc1 long, doc2 long")
+                ).collect(),
+            )
+        )
+
+    assert comps(capped) == comps(uncapped)
+    # the whole flood is one cluster rooted at min id
+    assert {c for _, c in comps(capped)} == {0}
 
 
 def test_bucket_cap_mirrored_in_oracles(spark):

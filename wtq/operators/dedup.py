@@ -187,15 +187,22 @@ def _band_strs() -> Column:
     )
 
 
-# Max docs per LSH bucket before the bucket is dropped instead of
-# pair-expanded.  A bucket only exceeds this when MANY near-identical
-# documents share a band value; the exact-dedup-first discipline in
-# dedup_resolution already collapses byte-identical floods, so an
-# overflow here means a near-but-not-exact boilerplate flood — whose
-# C(n,2) pair expansion is exactly what must not run.  Cap² bounds the
-# worst-case per-bucket pair volume (~500k pairs at 1000).  The oracle
-# SQL applies the IDENTICAL cap (same drop, same unit), so the
-# cross-engine differential holds on flood inputs too.
+# Max docs per LSH bucket before pair expansion degrades from
+# ALL-PAIRS to STAR edges.  A bucket only exceeds this when MANY
+# near-identical documents share a band value; the exact-dedup-first
+# discipline in dedup_resolution already collapses byte-identical
+# floods, so an overflow here means a near-but-not-exact boilerplate
+# flood — whose C(n,2) pair expansion is exactly what must not run.
+# Over-cap buckets emit (bucket-min, member) edges instead: LINEAR in
+# bucket size, every edge still a true candidate (both endpoints share
+# the band by construction), and the bucket stays ONE connected
+# component for the cluster consumers — so capping costs ZERO
+# cluster-level recall (pinned in test_lsh_cap_recall) instead of
+# round-3's drop-the-bucket behavior, which lost near-identical
+# floods entirely.  Cap² bounds the worst-case per-bucket all-pairs
+# volume (~500k pairs at 1000).  The oracle SQL applies the IDENTICAL
+# cap and star rule, so the cross-engine differential holds on flood
+# inputs too.
 LSH_BUCKET_CAP = 1000
 
 
@@ -206,9 +213,12 @@ def minhash_lsh_pairs(
     minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
     doc1 < doc2 (canonical pair ordering, cf. proccess_data.sql:244).
 
-    Buckets with more than `bucket_cap` docs are dropped, not
-    pair-expanded (see LSH_BUCKET_CAP); `sql_minhash_lsh_pairs`
-    mirrors the cap so both engines drop exactly the same buckets."""
+    Buckets with more than `bucket_cap` docs emit STAR edges
+    (bucket-min ↔ member) instead of all-pairs (see LSH_BUCKET_CAP):
+    output stays linear in bucket size, every emitted pair is still a
+    genuine shared-band candidate, and cluster connectivity is
+    preserved exactly; `sql_minhash_lsh_pairs` mirrors the cap and the
+    star rule so both engines emit exactly the same pairs."""
     # NOTE: do NOT filter on the signature column here — a filter
     # referencing the UDF output gets pushed below the repartition and
     # Catalyst materializes a SECOND ArrowEvalPython over the unsplit
@@ -231,17 +241,30 @@ def minhash_lsh_pairs(
     # consumers (dedup_resolution/dedup_clusters/dedup_apply) run
     # EXACT-DEDUP-FIRST and feed this operator one representative per
     # exact fingerprint, so byte-identical floods never reach a bucket;
-    # (b) LSH_BUCKET_CAP drops residual oversized buckets (near-but-
-    # not-exact boilerplate floods) rather than quadratically exploding
-    # — the n-gram path's NGRAM_DF_CAP discipline.  Dropped buckets are
-    # observable via lsh_bucket_stats.
+    # (b) LSH_BUCKET_CAP degrades residual oversized buckets (near-
+    # but-not-exact boilerplate floods) from all-pairs to star edges
+    # rather than quadratically exploding — the n-gram path's
+    # NGRAM_DF_CAP discipline, minus its recall loss.  Over-cap
+    # buckets are observable via lsh_bucket_stats.
+    #
+    # One conditional explode handles both regimes without touching
+    # the upstream subtree twice: the LEFT side of the pair is every
+    # member for within-cap buckets but only the bucket minimum for
+    # over-cap buckets — [min] × members = the star.
     grouped = (
         buckets.groupBy("bucket")
         .agg(F.collect_list("doc").alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= bucket_cap))
+        .filter(F.size("docs") >= 2)
     )
     pairs = (
-        grouped.select(F.explode("docs").alias("doc"), F.col("docs"))
+        grouped.select(
+            F.explode(
+                F.when(F.size("docs") <= bucket_cap, F.col("docs")).otherwise(
+                    F.array(F.array_min("docs"))
+                )
+            ).alias("doc"),
+            F.col("docs"),
+        )
         .select("doc", F.explode("docs").alias("doc2"))
         .filter(F.col("doc") < F.col("doc2"))
         .groupBy(F.col("doc").alias("doc1"), F.col("doc2"))
@@ -772,13 +795,21 @@ def sql_minhash_lsh_pairs(
       FROM banded GROUP BY doc, band
     ),
     bsz AS ({bsz}),
-    kept AS (
-      SELECT doc, bucket FROM buckets JOIN bsz USING (bucket)
+    -- LEFT side of each pair: every member for within-cap buckets,
+    -- only the bucket minimum for over-cap buckets ([min] x members =
+    -- the star rule; mirrors minhash_lsh_pairs exactly)
+    lefts AS (
+      SELECT b.doc, b.bucket FROM buckets b JOIN bsz USING (bucket)
       WHERE n <= {bucket_cap}
+      UNION ALL
+      SELECT min(b.doc) AS doc, b.bucket
+      FROM buckets b JOIN bsz USING (bucket)
+      WHERE n > {bucket_cap}
+      GROUP BY b.bucket
     ),
     pairs AS (
       SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_shared_bands
-      FROM kept a JOIN kept b USING (bucket)
+      FROM lefts a JOIN buckets b USING (bucket)
       WHERE a.doc < b.doc
       GROUP BY 1, 2
     )
