@@ -112,3 +112,81 @@ def test_p1_rule_f1_on_heldout_distribution():
     assert f1 >= 0.99, f"P-1 held-out F1 {f1:.4f} (P={precision:.4f} R={recall:.4f})"
     # threshold sits in the gap with margin on both sides
     assert max(clean) < R.PPL_MAX < min(gib)
+
+
+# Real(ish) words CONTAINING a lexicon entry as a substring — the
+# Scunthorpe cases a substring matcher false-fires on.  Each entry's
+# embedded lexicon word is flanked by letters, so the (?i)\b…\b rule
+# pattern must NOT match.
+_SCUNTHORPE = {
+    "hell": ["hello", "shell", "seashell", "michelle", "hellebore", "othello"],
+    "damn": ["goddamned"],
+    "crap": ["scrape", "scrapbook", "crappie"],
+    "bastard": ["bastardization"],
+    "moron": ["oxymoron", "moronic"],
+    "idiot": ["idiotic", "idiotypic"],
+}
+
+
+def test_t1_scunthorpe_containers_cover_the_lexicon():
+    """Pre-condition: every container really contains its lexicon word
+    as an inner substring (no accidental word boundary), and every
+    lexicon word has at least one container under test."""
+    from wtq.rules.lexicon import PROFANITY_WORDS
+
+    assert set(_SCUNTHORPE) == set(PROFANITY_WORDS)
+    for w, containers in _SCUNTHORPE.items():
+        for c in containers:
+            assert w in c and c != w
+            i = c.find(w)
+            flanked_left = i > 0 and c[i - 1].isalpha()
+            flanked_right = i + len(w) < len(c) and c[i + len(w)].isalpha()
+            assert flanked_left or flanked_right, (w, c)
+
+
+def test_t1_scrub_precision_on_scunthorpe_heldout():
+    """T-1 (profanity) precision on held-out text where every negative
+    document embeds lexicon substrings inside larger words: the
+    word-boundary pattern must leave them untouched (byte-identical
+    round-trip, zero counted hits), while genuine standalone tokens —
+    including capitalized and punctuation-adjacent uses — all fire.
+    Round-3 verdict item 8: measured precision pinned ≥ 0.99 (the
+    actual result is exact: 0 false fires, so precision = 1.0)."""
+    from wtq.rules.lexicon import PROFANITY_WORDS
+    from wtq.rules.scrub import scrub_text
+
+    rng = random.Random(13)
+    containers = sorted(c for cs in _SCUNTHORPE.values() for c in cs)
+    filler = HELD_OUT["en"]
+
+    def clean_doc():
+        words = [rng.choice(filler) for _ in range(20)]
+        for c in rng.sample(containers, 4):
+            words.insert(rng.randrange(len(words)), c)
+        return " ".join(words)
+
+    def toxic_doc():
+        words = [rng.choice(filler) for _ in range(20)]
+        w = rng.choice(PROFANITY_WORDS)
+        styled = rng.choice([w, w.capitalize(), w.upper(), w + "!", f"({w})"])
+        words.insert(rng.randrange(len(words)), styled)
+        return " ".join(words)
+
+    tp = fp = fn = 0
+    for _ in range(500):
+        doc = clean_doc()
+        res = scrub_text(doc)
+        fired = res.n_profanity >= R.PROFANITY_MIN_HITS
+        fp += fired
+        # the container words survive byte-identically
+        assert res.text == doc, res.text
+    for _ in range(500):
+        res = scrub_text(toxic_doc())
+        fired = res.n_profanity >= R.PROFANITY_MIN_HITS
+        tp += fired
+        fn += not fired
+        assert "[CENSORED]" in res.text or not fired
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn)
+    assert precision >= 0.99, f"T-1 Scunthorpe precision {precision:.4f} ({fp} false fires)"
+    assert recall == 1.0, f"T-1 recall {recall:.4f}"
