@@ -66,7 +66,13 @@ def main() -> None:
 
     def one_pipeline_run() -> tuple[float, int]:
         t0 = time.time()
-        res = run_pipeline(spark, pages_path, num_partitions=cpus * 4)
+        # exactly one partition per core: the Arrow score pass is the
+        # heavy narrow stage and over-splitting it 4x was measured 37%
+        # slower at this batch size (per-task Arrow + scheduling
+        # overhead; same economics as minhash_signatures' repartition
+        # note).  At cluster scale the partition count follows data
+        # size, not this constant.
+        res = run_pipeline(spark, pages_path, num_partitions=cpus)
         res.decided.write.mode("overwrite").parquet(f"{out}/decided")
         t1 = time.time()
         log(f"  decided write: {t1 - t0:.2f}s")
