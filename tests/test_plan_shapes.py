@@ -149,6 +149,13 @@ def test_ivf_kmeans_broadcasts_centroids(spark):
     # assignment never sort-merge-joins the embedding side on a
     # non-broadcast centroid set
     assert "SortMergeJoin" not in plan.split("Window")[0]
+    # assignment is a NARROW array argmax (round-3 verdict #3): the
+    # ONLY Window operator in the whole query is the final per-query
+    # top-k (plus its WindowGroupLimit pushdown) — no per-doc
+    # Window-ranking of corpus×k exploded rows anywhere
+    assert plan.count("Window [") == 1, plan[:2000]
+    # k-means itself: one tiny Window ranking the k seed rows, nothing else
+    assert kplan.count("Window [") <= 1, kplan[:2000]
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark):
@@ -174,3 +181,19 @@ def test_token_budget_window_is_host_partitioned(spark):
     plan = plan_string(df, mode="simple")
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     assert "hashpartitioning(host" in plan, plan[:3000]
+
+
+def test_flagged_pipeline_keeps_single_arrow_pass(spark, pages_path):
+    """The curation flags must not multiply the Python stage: with
+    strip_boilerplate AND host_gate on, the scoring pass is still
+    exactly one ArrowEvalPython (the boilerplate pass and the gate are
+    pure JVM expressions/aggregations)."""
+    from wtq.pipeline import run_pipeline
+
+    res = run_pipeline(
+        spark, pages_path, num_partitions=8, strip_boilerplate=True, host_gate=True
+    )
+    plan = plan_string(res.decided, mode="simple")
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+    # the host drop-list joins back as a broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan
