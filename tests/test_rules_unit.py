@@ -339,3 +339,110 @@ def test_image_quarantine_conservation(spark):
     for i in bad:
         assert quar_rows[i].err and not quar_rows[i].ok
         assert quar_rows[i].width is None and quar_rows[i].mean_r is None
+
+
+def test_png_roundtrip_rgb_rgba_gray():
+    import numpy as np
+
+    from wtq.operators.multimodal import decode_image, decode_png, encode_png, synth_image
+
+    rgb = synth_image(7)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    assert np.array_equal(decode_image(encode_png(rgb)), rgb)  # dispatch
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 200, np.uint8)])
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+    gray = rgb[:, :, 0]
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+
+
+def test_png_all_five_filters_reconstruct():
+    """The encoder emits filter 0 only, so exercise filters 1-4 by
+    constructing the IDAT by hand: filter each scanline with an
+    independent scalar reference implementation of the PNG spec, then
+    require the decoder to reconstruct the original raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from wtq.operators.multimodal import PNG_SIG, _paeth, _png_chunk, decode_png, synth_image
+
+    img = synth_image(11)  # (16, 16, 3)
+    h, w, ch = img.shape
+    stride = w * ch
+    raw = img.reshape(h, stride).astype(int)
+    scan = b""
+    for y in range(h):
+        ftype = y % 5
+        prev = raw[y - 1] if y > 0 else np.zeros(stride, int)
+        line = bytearray()
+        for x in range(stride):
+            cur = raw[y][x]
+            a = raw[y][x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[ftype]
+            line.append((cur - pred) & 0xFF)
+        scan += bytes([ftype]) + bytes(line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), img)
+
+
+def test_png_malformed_raises_for_quarantine():
+    import pytest
+
+    from wtq.operators.multimodal import decode_image, decode_png, encode_png, synth_image
+
+    blob = bytearray(encode_png(synth_image(3)))
+    blob[40] ^= 0xFF  # corrupt inside a chunk payload -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    # JPEG stays the documented boundary; unknown containers are errors
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a...")
+
+
+def test_image_quarantine_mixed_formats(spark):
+    """One safe-decode pass over MIXED containers: PPM and PNG rows
+    extract for real, a corrupt PNG and a JPEG-magic blob quarantine,
+    and conservation holds."""
+    import numpy as np
+
+    from wtq.operators.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_features_safe,
+        quarantine_split,
+        synth_image,
+    )
+
+    bad_png = bytearray(encode_png(synth_image(2)))
+    bad_png[40] ^= 0xFF
+    rows = [
+        (0, bytes(encode_ppm(synth_image(0)))),
+        (1, bytes(encode_png(synth_image(1)))),
+        (2, bytes(bad_png)),
+        (3, b"\xff\xd8\xff\xe0 jpeg-magic"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    feats = image_features_safe(df)
+    ok, quar = quarantine_split(feats)
+    ok_rows = {r.doc_id: r for r in ok.collect()}
+    quar_rows = {r.doc_id: r for r in quar.collect()}
+    assert set(ok_rows) == {0, 1} and set(quar_rows) == {2, 3}
+    # the PPM and PNG rasters of the same synth id agree on mean_r
+    img0, img1 = synth_image(0), synth_image(1)
+    assert ok_rows[0].mean_r == round(float(np.float64(img0[:, :, 0].mean())), 6)
+    assert ok_rows[1].mean_r == round(float(np.float64(img1[:, :, 0].mean())), 6)
+    assert "CRC" in quar_rows[2].err
+    assert "NotImplementedError" in quar_rows[3].err

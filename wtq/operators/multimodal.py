@@ -10,13 +10,18 @@ Two tiers:
 * **Real codec path** — binary P6 PPM encode/decode in pure numpy
   (``encode_ppm``/``decode_ppm``): genuine byte-level image decode,
   block-mean resize, per-channel statistics, all oracle-checked
-  against a closed-form SQL derivation (``image_features``).  This is
-  the full decode → transform → featurize shape a training pipeline
-  runs, with a format that needs no external codec.
-* **Compressed-codec stub** — JPEG/PNG/audio/video libraries are not
-  in this container; ``decode_image`` documents that boundary and
-  raises.  ``extract_features`` uses a deterministic hash-derived
-  stand-in embedding so the plumbing stays testable.
+  against a closed-form SQL derivation (``image_features``).  PNG
+  encode/decode is also REAL (``encode_png``/``decode_png``): stdlib
+  zlib inflate + all five scanline filters (None/Sub/Up/Average/
+  Paeth) + CRC verification, gray/RGB/RGBA at bit depth 8 — no
+  external codec needed.  This is the full decode → transform →
+  featurize shape a training pipeline runs.
+* **Compressed-codec stub** — the remaining boundary is JPEG only
+  (Huffman+DCT; no reference codec in this container to validate a
+  hand-rolled one against); ``decode_image`` dispatches PNG and PPM
+  to the real decoders and raises for JPEG.  ``extract_features``
+  uses a deterministic hash-derived stand-in embedding so the
+  plumbing stays testable.
 """
 
 from __future__ import annotations
@@ -47,12 +52,150 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(blob: bytes):
-    """Compressed formats (JPEG/PNG) would decode here; their codecs
-    (PIL/libvips) are not in this container.  Uncompressed PPM decodes
-    for real via decode_ppm below — the pipeline takes the decode
-    function as a seam, so swapping in a real codec is one argument."""
-    raise NotImplementedError("compressed-image codecs unavailable in this environment")
+    """Format-dispatching image decode: PNG and binary P6 PPM decode
+    for REAL (pure stdlib-zlib + numpy, below); JPEG is the one
+    remaining boundary — a hand-rolled Huffman+DCT decoder could not
+    be validated against any reference codec in this container, so it
+    raises instead of risking silently wrong rasters.  The pipeline
+    takes the decode function as a seam, so swapping in a JPEG codec
+    is one argument."""
+    if blob[:8] == PNG_SIG:
+        return decode_png(blob)
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    if blob[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode unavailable: no reference codec in this environment "
+            "to validate against (documented boundary)"
+        )
+    raise ValueError("unrecognized image container")
+
+
+# ---------------------------------------------------------------------------
+# Real codec: PNG (stdlib zlib + numpy; bit depth 8, gray/RGB/RGBA)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) RGBA →
+    PNG bytes (filter 0 per scanline, one zlib-deflated IDAT)."""
+    import struct
+    import zlib
+
+    assert arr.dtype == np.uint8
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = arr.shape
+    else:
+        h, w, channels = arr.shape
+        color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = arr.reshape(h, w * channels)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → uint8 raster ((h, w) for grayscale, (h, w, c) otherwise).
+
+    Real decode, no external codec: chunk walk with CRC verification,
+    stdlib-zlib inflate of the concatenated IDAT stream, then scanline
+    unfiltering for ALL five filter types (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth — the per-row reconstruction loop is the
+    format's inherent sequential dependency).  Supported: bit depth 8,
+    color types 0 (gray), 2 (RGB), 6 (RGBA), no interlace.  Malformed
+    input raises ValueError — the quarantine path's contract."""
+    import struct
+    import zlib
+
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant (need depth 8, no interlace)")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up — vectorizable, no intra-row dependency
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[x])) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(a, int(prev[x]), c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    arr = out.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +557,11 @@ def image_features_safe(df: DataFrame, id_col: str = "doc_id", blob_col: str = "
     decode errors.  At 100 TB a daily run WILL hit corrupt blobs; one
     bad record must never kill a 10-hour job.  Conservation contract:
     every input row appears exactly once (good + quarantined = input),
-    pinned by tests/test_rules_unit.py."""
+    pinned by tests/test_rules_unit.py.
+
+    Decode goes through the format-dispatching seam (`decode_image`),
+    so PPM and PNG blobs both extract for real in one pass and
+    anything else — JPEG included — quarantines instead of crashing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -422,7 +569,9 @@ def image_features_safe(df: DataFrame, id_col: str = "doc_id", blob_col: str = "
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 doc_id = int(doc_id)
                 try:
-                    img = decode_ppm(bytes(blob))
+                    img = decode_image(bytes(blob))
+                    if img.ndim == 2:  # grayscale → single-channel raster
+                        img = img[:, :, None]
                     h, w, _ = img.shape
                     mean_r = round(float(img[:, :, 0].astype(np.float64).mean()), 6)
                     rows.append((doc_id, True, None, w, h, mean_r))
