@@ -190,3 +190,29 @@ def test_t1_scrub_precision_on_scunthorpe_heldout():
     recall = tp / (tp + fn)
     assert precision >= 0.99, f"T-1 Scunthorpe precision {precision:.4f} ({fp} false fires)"
     assert recall == 1.0, f"T-1 recall {recall:.4f}"
+
+
+def test_l1_abstains_on_unseen_scripts():
+    """Text in scripts OUTSIDE the model's label set (Latin + CJK)
+    must return ('und', 0.0) so L-1 abstains — round 4 measured that
+    without the script gate, Cyrillic/Greek/Arabic/Korean text all
+    predicted 'zh' at margin 0.118 > MARGIN_MIN: a confidently wrong
+    label that would mis-fire (or worse, mis-keep) at crawl scale."""
+    from wtq.rules.langid import predict_lang
+
+    unseen = {
+        "ru": "сегодня утром в саду было тихо и дети играли возле реки",
+        "el": "σημερα το πρωι στον κηπο ηταν ησυχια κοντα στο ποταμι",
+        "ar": "في صباح اليوم كانت الحديقة هادئة ولعب الاطفال قرب النهر",
+        "ko": "오늘 아침 정원은 조용했고 아이들은 강 근처에서 놀았다",
+        "he": "הבוקר הגן היה שקט והילדים שיחקו ליד הנהר",
+    }
+    for script, text in unseen.items():
+        pred, margin = predict_lang(text)
+        assert (pred, margin) == ("und", 0.0), (script, pred, margin)
+        assert margin < MARGIN_MIN  # the rule abstains
+    # supported claims are untouched: accented Latin still scores...
+    pred, margin = predict_lang("le père des enfants était déjà à côté de la rivière près du marché")
+    assert pred == "fr"
+    # ...and CJK still routes to zh with full confidence
+    assert predict_lang("今天早上花园里很安静孩子们在河边玩耍")[0] == "zh"

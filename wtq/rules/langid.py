@@ -84,13 +84,39 @@ def _word_scores(w: str) -> tuple[tuple[float, ...], int]:
     return tuple(scores), n
 
 
+def _latin_fraction(s: str) -> float:
+    """Fraction of LETTERS in the Latin blocks (Basic..Extended-B,
+    < U+0250 — covers every accented char the supported languages
+    use).  Sniffed on a 1000-char prefix: script is a document-level
+    property, and the cap bounds per-doc cost like the word cap."""
+    letters = latin = 0
+    for c in s[:1000]:
+        if c.isalpha():
+            letters += 1
+            if ord(c) < 0x250:
+                latin += 1
+    return latin / letters if letters else 1.0
+
+
 def predict_lang(text: str) -> tuple[str, float]:
     """Return (lang, margin). margin = mean-per-bigram log-likelihood
-    gap between best and second-best language; 0.0 when undecidable."""
+    gap between best and second-best language; 0.0 when undecidable.
+
+    Script-aware abstention: this model's label set is Latin-script
+    languages + zh, so text whose letters are predominantly in any
+    OTHER script (Cyrillic, Greek, Arabic, Hangul, kana, ...) returns
+    ('und', 0.0) — the L-1 rule then abstains (margin < MARGIN_MIN)
+    instead of firing on a confidently WRONG label.  Without this, a
+    fully-unseen script degenerates to the per-language smoothing
+    baselines, which differ by a CONSTANT — measured: Russian, Greek,
+    Arabic, and Korean all predicted 'zh' at margin 0.118 > MARGIN_MIN
+    (round-4 fix; pinned in test_heldout_eval.py)."""
     if not text:
         return "und", 0.0
     if _cjk_fraction(text) > 0.30:
         return "zh", 10.0
+    if _latin_fraction(text) < 0.5:
+        return "und", 0.0
     # Score lowercase words only (strip digits/symbols deterministically).
     words = [w for w in text.lower().split() if w.isalpha()]
     if not words:
