@@ -144,6 +144,25 @@ def main() -> None:
         q_samples[name] = [round(s, 3) for s in samples]
         log(f"{name}: {q_times[name]}s ({n} rows) samples={q_samples[name]}")
 
+    # Integrated curation run (strip_boilerplate + host_gate flags):
+    # the one-entry-point chain a real curation build uses — timed
+    # like a query (best-of-3, decisions sink) but reported under its
+    # own key, separate from the flagless headline.
+    cur_out = tempfile.mkdtemp(prefix="wtq_bench_cur_")
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        res = run_pipeline(
+            spark, pages_path, num_partitions=cpus,
+            strip_boilerplate=True, host_gate=True,
+        )
+        res.decided.write.mode("overwrite").parquet(f"{cur_out}/decided")
+        samples.append(time.time() - t0)
+    shutil.rmtree(cur_out, ignore_errors=True)
+    q_times["pipeline_curated"] = round(min(samples), 3)
+    q_samples["pipeline_curated"] = [round(s, 3) for s in samples]
+    log(f"pipeline_curated: {q_times['pipeline_curated']}s samples={q_samples['pipeline_curated']}")
+
     # Noise summary so round-over-round comparisons can tell drift from
     # regression: rel_spread = (max - min) / min per query over the 3
     # warm samples.  A query whose round delta is inside its own spread

@@ -376,6 +376,11 @@ def strip_boilerplate_lines(
     production run raises df_cap toward a corpus-share threshold
     and/or lets the join shuffle digests.  All shuffles are keyed on
     digests or doc ids, no self-joins.
+
+    Batch-scope operator: the hot set is a CORPUS-level statistic, so
+    this pass belongs to batch (or per-large-microbatch) builds — the
+    per-record streaming pipeline cannot compute it incrementally
+    without a stateful doc-frequency store.
     """
     # line_sep is a LITERAL separator: F.split takes a Java regex, so
     # quote it (\Q…\E) — an unescaped '.' or '|' would split on every
