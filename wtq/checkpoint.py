@@ -53,7 +53,15 @@ def run_checkpointed(
     fail_after_chunk: int | None = None,
 ) -> list[int]:
     """Run the pipeline chunk-by-chunk with commit markers; returns the
-    list of chunks computed in THIS invocation (sealed ones skipped)."""
+    list of chunks computed in THIS invocation (sealed ones skipped).
+
+    Corpus-scope curation passes (strip_boilerplate / host_gate in
+    run_pipeline) are deliberately NOT chunked here: their statistics
+    span the whole corpus, so a resumable curation build computes them
+    in a dedicated pass first (strip_boilerplate_lines' hot set /
+    source_quality_gate's verdict table are both small at-rest tables)
+    and applies them per chunk — per-chunk recomputation would change
+    results with N and break the sealed-chunk determinism contract."""
     pages = spark.read.parquet(pages_path)
     done: list[int] = []
     for k in range(n_chunks):
