@@ -48,8 +48,9 @@ def test_table_io_fallback(spark, tmp_path):
 
 
 def test_multimodal_stub_and_batching(spark):
-    """mapInPandas plumbing: schema honored, batches stream, decode is
-    an explicit stub."""
+    """mapInPandas plumbing: schema honored, batches stream; the
+    decode seam dispatches real codecs (PNG/PPM) and stubs only
+    JPEG."""
     import pytest
 
     from wtq.operators.multimodal import decode_image, extract_features, with_blob
@@ -59,7 +60,9 @@ def test_multimodal_stub_and_batching(spark):
     row = feats.filter(F.col("doc_id") == 0).collect()[0]
     assert row.byte_len > 0 and len(row.embedding) == 4
     assert feats.count() == docs.count()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):  # JPEG: the documented boundary
+        decode_image(b"\xff\xd8\xff\xe0")
+    with pytest.raises(ValueError):  # truncated PNG signature: malformed, not a stub
         decode_image(b"\x89PNG")
 
 
