@@ -352,6 +352,7 @@ def strip_boilerplate_lines(
     text_col: str = "text",
     line_sep: str = "\n",
     df_cap: int = BOILERPLATE_DF_CAP,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-wide boilerplate removal (the C4/CCNet line-dedup pass):
     lines appearing in more than `df_cap` DISTINCT documents
@@ -361,8 +362,11 @@ def strip_boilerplate_lines(
     corpus-level statistics — the reference's tag-cleaning analog
     (water.lua:84-221) at corpus scope instead of per-record scope.
 
-    Returns (doc_id, clean_text, n_removed) for every input document
-    (clean_text = '' when every line was boilerplate).  Empty lines
+    Returns (doc_id, clean_text, n_removed, *carry_cols) for every
+    input document (clean_text = '' when every line was boilerplate);
+    `carry_cols` are per-doc-constant metadata columns (timestamps,
+    labels) that ride through the aggregation so callers need no
+    re-join against the input.  Empty lines
     (paragraph breaks, trailing newlines) are never counted as
     boilerplate and are preserved in place, so a document with no hot
     lines round-trips byte-identically.
@@ -387,8 +391,9 @@ def strip_boilerplate_lines(
     # character and shred the text
     lines = df.select(
         F.col(id_col).alias("doc"),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + line_sep + "\\E")
         ).alias("pos", "line"),
     ).withColumn("k", F.md5("line"))
     hot = (
@@ -399,30 +404,33 @@ def strip_boilerplate_lines(
         .agg(F.count("*").alias("doc_df"))
         .filter(F.col("doc_df") > df_cap)
         .select("k")
+        .withColumn("__hot", F.lit(True))
     )
-    kept = lines.join(hot, "k", "left_anti")
-    rebuilt = kept.groupBy("doc").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
-            line_sep,
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = lines.groupBy("doc").agg(F.count("*").alias("n_lines"))
+    # ONE marked join + ONE aggregation (round 4; the previous form ran
+    # an anti join plus TWO per-doc aggregates plus TWO outer re-joins
+    # against the input — three extra shuffles for the same answer):
+    # hot lines ride along as a flag, collect_list skips the NULLed-out
+    # hot entries, and the removed count falls out of the same agg.
+    # Every doc keeps exactly its rows (split of a coalesced text always
+    # yields ≥ 1 element), so no anchor join is needed for conservation.
+    marked = lines.join(hot, "k", "left")
     return (
-        df.select(F.col(id_col).alias("doc"))
-        .join(totals, "doc", "left")
-        .join(rebuilt, "doc", "left")
-        .select(
-            F.col("doc").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
+        marked.groupBy("doc", *carry_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__hot").isNull(), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                line_sep,
+            ).alias("clean_text"),
+            F.count(F.when(F.col("__hot"), 1)).cast("int").alias("n_removed"),
         )
+        .select(F.col("doc").alias(id_col), "clean_text", "n_removed", *carry_cols)
     )
 
 

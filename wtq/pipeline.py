@@ -290,10 +290,12 @@ def run_pipeline(
         if num_partitions:
             base = salted_repartition(base, num_partitions)
         base = dedup_recrawls(base)
-        sb = strip_boilerplate_lines(base.select("url", "text"), "url", "text")
+        # warc_ts/lang ride through the rebuild aggregation as carry
+        # columns — no re-join of the page stream against itself
         base = (
-            base.drop("text")
-            .join(sb, "url")
+            strip_boilerplate_lines(
+                base, "url", "text", carry_cols=("warc_ts", "lang")
+            )
             .withColumnRenamed("clean_text", "text")
             .withColumnRenamed("n_removed", "n_boiler_removed")
         )
