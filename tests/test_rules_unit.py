@@ -446,3 +446,49 @@ def test_image_quarantine_mixed_formats(spark):
     assert ok_rows[1].mean_r == round(float(np.float64(img1[:, :, 0].mean())), 6)
     assert "CRC" in quar_rows[2].err
     assert "NotImplementedError" in quar_rows[3].err
+
+
+def test_png_filter_roundtrip_hypothesis():
+    """Property: ANY uint8 raster, re-encoded with ANY per-row filter
+    assignment, decodes back to the original — the filters are exact
+    bijections given correct predictor arithmetic."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from wtq.operators.multimodal import PNG_SIG, _paeth, _png_chunk, decode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arr=arrays(np.uint8, st.tuples(st.integers(1, 6), st.integers(1, 6), st.just(3))),
+        fseed=st.integers(0, 2**30),
+    )
+    def check(arr, fseed):
+        h, w, ch = arr.shape
+        stride = w * ch
+        raw = arr.reshape(h, stride).astype(int)
+        scan = b""
+        for y in range(h):
+            ftype = (fseed >> (2 * y)) % 5
+            prev = raw[y - 1] if y > 0 else np.zeros(stride, int)
+            line = bytearray()
+            for x in range(stride):
+                a = raw[y][x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[ftype]
+                line.append((raw[y][x] - pred) & 0xFF)
+            scan += bytes([ftype]) + bytes(line)
+        blob = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(blob), arr)
+
+    check()
