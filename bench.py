@@ -166,9 +166,12 @@ def main() -> None:
     # Noise summary so round-over-round comparisons can tell drift from
     # regression: rel_spread = (max - min) / min per query over the 3
     # warm samples.  A query whose round delta is inside its own spread
-    # is noise, not a code change.
+    # is noise, not a code change.  Guard the denominator: a sub-ms
+    # sample rounds to 0.0 in q_samples, and a ZeroDivisionError here
+    # would discard the whole already-measured result.
     spreads = {
-        name: round((max(s) - min(s)) / min(s), 3) for name, s in q_samples.items()
+        name: round((max(s) - min(s)) / max(min(s), 1e-6), 3)
+        for name, s in q_samples.items()
     }
     ranked = sorted(spreads.values())
     noise = {

@@ -211,6 +211,11 @@ def test_l1_abstains_on_unseen_scripts():
         pred, margin = predict_lang(text)
         assert (pred, margin) == ("und", 0.0), (script, pred, margin)
         assert margin < MARGIN_MIN  # the rule abstains
+        # round-4 self-review: a long letterless preamble (digits,
+        # punctuation, markup) must NOT bypass the script gate — the
+        # gate reads the scored word sample, not a raw char window
+        pred2, margin2 = predict_lang(("7 42 13 " * 150) + text)
+        assert (pred2, margin2) == ("und", 0.0), (script, pred2, margin2)
     # supported claims are untouched: accented Latin still scores...
     pred, margin = predict_lang("le père des enfants était déjà à côté de la rivière près du marché")
     assert pred == "fr"

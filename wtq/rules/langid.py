@@ -84,14 +84,18 @@ def _word_scores(w: str) -> tuple[tuple[float, ...], int]:
     return tuple(scores), n
 
 
-def _latin_fraction(s: str) -> float:
+def _latin_fraction(words) -> float:
     """Fraction of LETTERS in the Latin blocks (Basic..Extended-B,
     < U+0250 — covers every accented char the supported languages
-    use).  Sniffed on a 1000-char prefix: script is a document-level
-    property, and the cap bounds per-doc cost like the word cap."""
+    use) across the given alpha-only words.  Computed over the SAME
+    capped word sample the scorer consumes — a fixed raw-char window
+    was bypassable by a long digit/punctuation/markup preamble before
+    non-Latin prose (found in round-4 self-review, regression-pinned),
+    while the alpha-word sample cannot contain a letterless prefix by
+    construction."""
     letters = latin = 0
-    for c in s[:1000]:
-        if c.isalpha():
+    for w in words:
+        for c in w:
             letters += 1
             if ord(c) < 0x250:
                 latin += 1
@@ -115,13 +119,13 @@ def predict_lang(text: str) -> tuple[str, float]:
         return "und", 0.0
     if _cjk_fraction(text) > 0.30:
         return "zh", 10.0
-    if _latin_fraction(text) < 0.5:
-        return "und", 0.0
     # Score lowercase words only (strip digits/symbols deterministically).
     words = [w for w in text.lower().split() if w.isalpha()]
     if not words:
         return "und", 0.0
     sample = words[:200]  # cap per-doc work (cf. st_subdivide cost bound, SURVEY.md §4)
+    if _latin_fraction(sample) < 0.5:
+        return "und", 0.0
     totals = [0.0] * len(_LANGS)
     nbg = 0
     for w in sample:
