@@ -22,6 +22,7 @@ def __getattr__(name):
         "decide": ("wtq.pipeline", "decide"),
         "run_pipeline": ("wtq.pipeline", "run_pipeline"),
         "run_checkpointed": ("wtq.checkpoint", "run_checkpointed"),
+        "build_training_set": ("wtq.build", "build_training_set"),
         "exact_duplicates": ("wtq.operators.dedup", "exact_duplicates"),
         "minhash_lsh_pairs": ("wtq.operators.dedup", "minhash_lsh_pairs"),
         "simhash_near_pairs": ("wtq.operators.dedup", "simhash_near_pairs"),

@@ -1,0 +1,134 @@
+"""End-to-end training-data build: ONE entry point composing the whole
+curation stack the way a production corpus build runs it.
+
+    pages ─ quality filter (+ boilerplate strip, + host gate)
+          ─ near-dup removal (exact-first LSH clusters, keep min-id rep)
+          ─ benchmark decontamination (held-out hash-slice of the corpus,
+            or an explicit benchmark gram table)
+          ─ per-host token budget
+          ─ leakage-safe train/val/test split (content-hash buckets)
+          → parquet per split + a one-row-per-stage lineage table
+
+Every stage is individually oracle-gated elsewhere (wtq.queries /
+tests); this module adds the composition contract: stages only remove
+documents (conservation), the split partitions the survivors exactly,
+and the whole build is a pure function of its input (content-hash
+ordering everywhere — rerunning yields byte-identical membership).
+
+Scale shape: each stage is the operator documented in SCALE.md; the
+composition adds no new shuffle beyond its stages (the lineage table
+is a union of per-stage counts — driver-sized, never data)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wtq.operators import curation as C
+from wtq.operators.dedup import dedup_resolution
+from wtq.pipeline import run_pipeline
+
+# one url in BENCH_SLICE_MOD seeds the held-out benchmark slice when no
+# explicit benchmark is given (md5-bucketed — works for string ids,
+# unlike the numeric id-parity split of the standalone query demo)
+BENCH_SLICE_MOD = 101
+
+
+def _hash_bucket(col: str, mod: int):
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long") % mod
+    )
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    lineage: DataFrame  # (stage, n_docs) — monotone non-increasing
+
+    def split_path(self, split: str) -> str:
+        return os.path.join(self.out_dir, f"split={split}")
+
+
+def build_training_set(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    num_partitions: int | None = None,
+    token_budget: int = C.TOKEN_BUDGET,
+    benchmark: DataFrame | None = None,
+) -> BuildResult:
+    """Run the full curation stack and write train/val/test parquet.
+
+    `benchmark`: optional 1-column gram-digest table (see
+    `benchmark_grams`).  When None, a deterministic held-out slice of
+    the corpus itself (md5(url) bucket 0 of BENCH_SLICE_MOD) plays the
+    benchmark role and is excluded from every split — the
+    self-contained analog of decontaminating against a real eval
+    suite.
+
+    Returns BuildResult with the split paths and the lineage table;
+    splits are written with (url, text, n_tokens) columns.
+    """
+    # 1. quality filter with both curation passes
+    decided = run_pipeline(
+        spark,
+        pages_path,
+        num_partitions=num_partitions,
+        strip_boilerplate=True,
+        host_gate=True,
+    ).decided
+    kept = decided.filter("keep").select("url", "text")
+    # the chain is re-used by several counting/writing consumers below;
+    # materialize once (the CTAS-at-fan-out discipline)
+    kept = kept.localCheckpoint(eager=True)
+
+    # 2. near-dup removal: keep each cluster's min-id representative
+    non_reps = (
+        dedup_resolution(kept, "url", "text")
+        .filter(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias("url"))
+    )
+    deduped = kept.join(non_reps, "url", "left_anti")
+
+    # 3. decontamination
+    if benchmark is None:
+        bench_docs = deduped.filter(_hash_bucket("url", BENCH_SLICE_MOD) == 0)
+        benchmark = C.benchmark_grams(bench_docs, "text")
+        candidates = deduped.filter(_hash_bucket("url", BENCH_SLICE_MOD) != 0)
+    else:
+        candidates = deduped
+    hits = C.decontaminate(candidates, "url", "text", benchmark=benchmark)
+    clean = candidates.join(hits.select("url"), "url", "left_anti")
+
+    # 4. per-host token budget (host = authority component of the url)
+    hosted = clean.withColumn("host", F.substring_index("url", "/", 3))
+    sampled = C.token_budget_sample(
+        hosted, "url", "text", "host", budget=token_budget
+    ).select("url", "n_tokens")
+    final = clean.join(sampled, "url").localCheckpoint(eager=True)
+
+    # 5. leakage-safe split: content-hash buckets (98/1/1), a pure
+    # function of the url — stable across reruns and cluster sizes
+    bucket = _hash_bucket("url", 1000)
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+    final = final.withColumn("split", split)
+    final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    counts = {
+        "00_input": spark.read.parquet(pages_path).select("url").distinct().count(),
+        "10_quality_kept": kept.count(),
+        "20_after_dedup": deduped.count(),
+        "30_after_decontam": clean.count(),
+        "40_after_budget": final.count(),
+    }
+    written = spark.read.parquet(out_dir)
+    counts["50_written"] = written.count()
+    lineage = spark.createDataFrame(
+        sorted(counts.items()), "stage string, n_docs long"
+    )
+    return BuildResult(out_dir=out_dir, lineage=lineage)
