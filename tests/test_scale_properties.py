@@ -346,6 +346,33 @@ def test_lsh_bucket_cap_degrades_to_star_edges(spark):
     assert cc == {0, 2000}
 
 
+def test_simhash_cap_degrades_to_verified_star(spark):
+    """Over-cap simhash buckets emit Hamming-VERIFIED star edges
+    (bucket-min ↔ member) instead of being dropped: a near-identical
+    flood (pairwise distance ~0) keeps its min-rooted edges under a
+    tiny cap, and no non-min clique pair sneaks through from the
+    over-cap buckets."""
+    import wtq.operators.dedup as D
+
+    base = "the same viral boilerplate page body repeated everywhere across mirror sites today".split()
+    rows = []
+    for i in range(30):
+        w = list(base)
+        w[i % len(w)] = f"variant{i}"
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.simhash_near_pairs(df, "doc_id", "text", bucket_cap=5).collect()
+    uncapped = {
+        (r.doc1, r.doc2) for r in D.simhash_near_pairs(df, "doc_id", "text").collect()
+    }
+    assert capped, "flood pairs must not vanish under the cap"
+    # every capped pair is a true verified pair from the uncapped run
+    assert {(r.doc1, r.doc2) for r in capped} <= uncapped
+    assert all(r.hamming <= D.HAMMING_MAX for r in capped)
+    # star shape: far fewer pairs than the uncapped near-clique
+    assert len(capped) < len(uncapped)
+
+
 def test_lsh_cap_recall(spark):
     """Quantifies the cap's recall cost on a NEAR-identical flood (the
     case exact-dedup-first cannot collapse: every doc differs by one

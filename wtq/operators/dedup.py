@@ -904,9 +904,16 @@ def simhash_near_pairs(
     Recall contract: exact for hamming <= HAMMING_MAX (= SIMHASH_BANDS-1,
     pigeonhole over disjoint bands) — among pairs whose buckets stay
     within `bucket_cap`.  Like minhash_lsh_pairs, chunk buckets larger
-    than the cap (duplicate floods sharing a band value) are dropped,
-    not quadratically expanded, and the oracle applies the identical
-    cap so both engines drop the same buckets."""
+    than the cap (duplicate floods sharing a band value) degrade to
+    STAR candidates — only (bucket-min, member) pairs are generated,
+    then Hamming-verified like any candidate — so output stays linear
+    in bucket size and a near-identical flood (pairwise distances ~0)
+    still surfaces its min-rooted edges instead of vanishing (round 3
+    dropped such buckets outright).  Unlike the minhash star, cluster
+    recall is not guaranteed 1.0: a member > HAMMING_MAX from the
+    bucket minimum loses its star edge even if within range of some
+    other member — the price of keeping the verified-distance
+    contract.  The oracle applies the identical cap and star rule."""
     sig = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), F.col("simhash")
     )
@@ -936,10 +943,20 @@ def simhash_near_pairs(
     grouped = (
         chunks.groupBy("band", "chunk")
         .agg(F.collect_list(F.struct("doc", "simhash")).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+        .filter(F.size("ms") >= 2)
     )
+    # LEFT side: every member within cap, only the bucket minimum
+    # above it ([min] × members = the star rule; min struct = min doc
+    # since doc leads the struct and is unique)
     return (
-        grouped.select(F.explode("ms").alias("a"), F.col("ms"))
+        grouped.select(
+            F.explode(
+                F.when(F.size("ms") <= bucket_cap, F.col("ms")).otherwise(
+                    F.array(F.array_min("ms"))
+                )
+            ).alias("a"),
+            F.col("ms"),
+        )
         .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
@@ -964,12 +981,22 @@ def sql_simhash_near_pairs(
       FROM sig CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS j)
       WHERE simhash IS NOT NULL
     ),
-    kept AS (
-      SELECT doc, simhash, band, chunk FROM chunks
-      QUALIFY count(*) OVER (PARTITION BY band, chunk) <= {bucket_cap}
+    bsz AS (
+      SELECT band, chunk, count(*) AS n FROM chunks GROUP BY band, chunk
+    ),
+    -- star rule mirror: every member for within-cap buckets, only the
+    -- bucket-minimum row above the cap
+    lefts AS (
+      SELECT c.doc, c.simhash, c.band, c.chunk
+      FROM chunks c JOIN bsz USING (band, chunk) WHERE n <= {bucket_cap}
+      UNION ALL
+      SELECT arg_min(c.doc, c.doc) AS doc, arg_min(c.simhash, c.doc) AS simhash,
+             c.band, c.chunk
+      FROM chunks c JOIN bsz USING (band, chunk) WHERE n > {bucket_cap}
+      GROUP BY c.band, c.chunk
     )
     SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM kept a JOIN kept b USING (band, chunk)
+    FROM lefts a JOIN chunks b USING (band, chunk)
     WHERE a.doc < b.doc AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """
