@@ -245,7 +245,13 @@ def minhash_lsh_pairs(
     # but-not-exact boilerplate floods) from all-pairs to star edges
     # rather than quadratically exploding — the n-gram path's
     # NGRAM_DF_CAP discipline, minus its recall loss.  Over-cap
-    # buckets are observable via lsh_bucket_stats.
+    # buckets are observable via lsh_bucket_stats.  Memory bound of
+    # the one collect_list row for a monster bucket: IDS ONLY (text
+    # never enters this operator's shuffle), so a B-member bucket
+    # costs ~8·B bytes in one aggregation buffer — a 10⁸-member flood
+    # is ~0.8 GB, inside a single task's budget; beyond that, raise
+    # the exact-dedup-first net upstream (byte-identical floods never
+    # reach here) before raising executor memory.
     #
     # One conditional explode handles both regimes without touching
     # the upstream subtree twice: the LEFT side of the pair is every
