@@ -25,6 +25,8 @@ QUERIES_TO_CHECK = [
     "stratified_sample",     # hash-ordered per-group top-k
     "event_json_stats",      # double avg over JSON-extracted values
     "intersect_except",      # decimal sum feeding a membership threshold
+    "props_keys",            # merged set-ops/map-ops facets (round 4)
+    "strip_boilerplate",     # corpus-statistic rewrite (round 4 single-agg form)
     "priority_case_ladder",  # decimal-domain mean
     "media_features",        # mapInPandas feature extraction
 ]
