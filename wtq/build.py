@@ -6,7 +6,8 @@ curation stack the way a production corpus build runs it.
           ─ benchmark decontamination (held-out hash-slice of the corpus,
             or an explicit benchmark gram table)
           ─ per-host token budget
-          ─ leakage-safe train/val/test split (content-hash buckets)
+          ─ train/val/test split (url-hash buckets; leakage bounded by
+            the upstream dedup stage — see build_training_set)
           → parquet per split + a one-row-per-stage lineage table
 
 Every stage is individually oracle-gated elsewhere (wtq.queries /
@@ -17,7 +18,12 @@ ordering everywhere — rerunning yields byte-identical membership).
 
 Scale shape: each stage is the operator documented in SCALE.md; the
 composition adds no new shuffle beyond its stages (the lineage table
-is a union of per-stage counts — driver-sized, never data)."""
+is a union of per-stage counts — driver-sized, never data).  The one
+optional extra pass is the LSH bucket-occupancy audit (`lsh_audit`),
+which re-runs the signature UDF over the exact-dedup representatives
+to record over-cap bucket counts in the lineage — the observability a
+production dedup run wants, priced at one additional narrow pass over
+the post-collapse survivor set."""
 
 from __future__ import annotations
 
@@ -28,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wtq.operators import curation as C
-from wtq.operators.dedup import dedup_resolution
+from wtq.operators.dedup import (
+    LSH_BUCKET_CAP,
+    dedup_resolution,
+    exact_representatives,
+    lsh_bucket_stats,
+)
 from wtq.pipeline import run_pipeline
 
 # one url in BENCH_SLICE_MOD seeds the held-out benchmark slice when no
@@ -46,7 +57,7 @@ def _hash_bucket(col: str, mod: int):
 @dataclass
 class BuildResult:
     out_dir: str
-    lineage: DataFrame  # (stage, n_docs) — monotone non-increasing
+    lineage: DataFrame  # (stage, n_docs) — doc stages monotone non-increasing
 
     def split_path(self, split: str) -> str:
         return os.path.join(self.out_dir, f"split={split}")
@@ -59,6 +70,8 @@ def build_training_set(
     num_partitions: int | None = None,
     token_budget: int = C.TOKEN_BUDGET,
     benchmark: DataFrame | None = None,
+    lsh_bucket_cap: int = LSH_BUCKET_CAP,
+    lsh_audit: bool = True,
 ) -> BuildResult:
     """Run the full curation stack and write train/val/test parquet.
 
@@ -69,8 +82,17 @@ def build_training_set(
     self-contained analog of decontaminating against a real eval
     suite.
 
+    `lsh_bucket_cap` is applied to the dedup stage's pair expansion AND
+    to the occupancy audit, so the audit always reports on the cap the
+    pair stage actually enforced.  `lsh_audit=False` skips the audit
+    pass (and its two lineage rows) when the extra signature pass is
+    not worth the observability — e.g. repeated small test builds.
+
     Returns BuildResult with the split paths and the lineage table;
-    splits are written with (url, text, n_tokens) columns.
+    splits are written with (url, text, n_tokens) columns.  Lineage has
+    two row families: `NN_*` document counts (monotone non-increasing
+    through the stages) and, when `lsh_audit`, `6N_lsh_*` audit gauges
+    (over-cap bucket count and max bucket size — NOT document counts).
     """
     # 1. quality filter with both curation passes
     decided = run_pipeline(
@@ -82,16 +104,46 @@ def build_training_set(
     ).decided
     kept = decided.filter("keep").select("url", "text")
     # the chain is re-used by several counting/writing consumers below;
-    # materialize once (the CTAS-at-fan-out discipline)
+    # materialize once (the CTAS-at-fan-out discipline).  Same for the
+    # dedup and decontamination survivors: without their checkpoints
+    # the lineage counts at the bottom re-executed the LSH + connected-
+    # components chain and the decontamination join a second and third
+    # time (round-4 advisory — measured as the build's dominant
+    # redundant cost at scale).
     kept = kept.localCheckpoint(eager=True)
 
     # 2. near-dup removal: keep each cluster's min-id representative
     non_reps = (
-        dedup_resolution(kept, "url", "text")
+        dedup_resolution(kept, "url", "text", bucket_cap=lsh_bucket_cap)
         .filter(F.col("node") != F.col("cluster"))
         .select(F.col("node").alias("url"))
     )
-    deduped = kept.join(non_reps, "url", "left_anti")
+    deduped = kept.join(non_reps, "url", "left_anti").localCheckpoint(eager=True)
+
+    # 2b. occupancy audit over the SAME document set the LSH stage saw
+    # (exact-dedup representatives): over-cap buckets mean the pair
+    # stage degraded those buckets from all-pairs to star edges —
+    # production wants that visible next to the stage counts, not
+    # buried in executor logs.  One extra narrow pass; no new shuffle
+    # shape (the stats aggregation is ids-only).
+    audit: dict[str, int] = {}
+    if lsh_audit:
+        stats = lsh_bucket_stats(
+            exact_representatives(kept, "url", "text"),
+            "url",
+            "text",
+            bucket_cap=lsh_bucket_cap,
+        )
+        row = stats.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("over_cap"), F.col("n_buckets"))), F.lit(0)
+            ).alias("n_over"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_size"),
+        ).collect()[0]
+        audit = {
+            "60_lsh_over_cap_buckets": row.n_over,
+            "61_lsh_max_bucket_size": row.max_size,
+        }
 
     # 3. decontamination
     if benchmark is None:
@@ -101,7 +153,9 @@ def build_training_set(
     else:
         candidates = deduped
     hits = C.decontaminate(candidates, "url", "text", benchmark=benchmark)
-    clean = candidates.join(hits.select("url"), "url", "left_anti")
+    clean = candidates.join(hits.select("url"), "url", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     # 4. per-host token budget (host = authority component of the url)
     hosted = clean.withColumn("host", F.substring_index("url", "/", 3))
@@ -110,8 +164,17 @@ def build_training_set(
     ).select("url", "n_tokens")
     final = clean.join(sampled, "url").localCheckpoint(eager=True)
 
-    # 5. leakage-safe split: content-hash buckets (98/1/1), a pure
-    # function of the url — stable across reruns and cluster sizes
+    # 5. train/val/test split: md5(url) buckets (98/1/1), a pure
+    # function of the url — stable across reruns and cluster sizes.
+    # Leakage: EXACT-duplicate content cannot straddle splits because
+    # the upstream exact-dedup stage collapses identical text to one
+    # survivor regardless of url; near-duplicates above the LSH
+    # threshold are likewise collapsed to one representative.  The
+    # residual risk — near-identical content BELOW the similarity
+    # threshold (or too short to shingle) surviving under different
+    # urls — straddles with probability proportional to the bucket
+    # split, and no split key fixes that (a content hash differs on
+    # near-identical text too); only a tighter dedup threshold does.
     bucket = _hash_bucket("url", 1000)
     split = (
         F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
@@ -128,6 +191,7 @@ def build_training_set(
     }
     written = spark.read.parquet(out_dir)
     counts["50_written"] = written.count()
+    counts.update(audit)
     lineage = spark.createDataFrame(
         sorted(counts.items()), "stage string, n_docs long"
     )

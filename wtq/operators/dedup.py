@@ -391,7 +391,16 @@ CC_MAX_ITERS = 20
 # the edge set plus a driver synchronization.  Above the ceiling the
 # distributed pointer-jumping loop engages (the 100 TB path: the LSH
 # pair graph can approach corpus size on a duplicate-saturated crawl).
+#
+# The 5M figure is sized for NUMERIC ids (~8 bytes each; ~a few hundred
+# MB of task memory with dict/set overhead).  String ids — url keys are
+# the common case in this engine — cost 10×+ per entry in the
+# union-find's Python dicts (~50-byte string objects + hash-table
+# slots), so connected_components scales the effective ceiling down by
+# CC_STRING_ID_DIVISOR for string edge schemas rather than letting one
+# task hold several GB of url references.
 CC_SINGLE_TASK_MAX_EDGES = 5_000_000
+CC_STRING_ID_DIVISOR = 8
 
 
 def _cc_union_find(edges: DataFrame) -> DataFrame:
@@ -479,7 +488,12 @@ def connected_components(
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= single_task_max_edges:
+    # width-aware ceiling: string ids (urls) cost ~10× a numeric id in
+    # the single task's Python dicts — see CC_STRING_ID_DIVISOR
+    cap = single_task_max_edges
+    if edges.schema["src"].dataType.simpleString() == "string":
+        cap //= CC_STRING_ID_DIVISOR
+    if edges.count() <= cap:
         return _cc_union_find(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -537,14 +551,53 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
-def dedup_resolution(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_representatives(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative document (min id) per md5 text fingerprint —
+    the exact-dedup-first front half of `dedup_resolution`, exposed so
+    observability consumers (the build lineage's LSH occupancy audit,
+    wtq/build.py) can measure the EXACT document set the LSH stage
+    sees.  Auditing the raw corpus instead would report over-cap
+    buckets that the exact collapse already defused (10⁵ byte-identical
+    pages = ONE doc per band bucket), which misleads production triage.
+
+    Deliberately mirrors (not shares) dedup_resolution's interior: the
+    resolution path checkpoints its fingerprint-group table because two
+    downstream consumers reuse it; this standalone form has one
+    consumer and a checkpoint would just pin memory."""
+    docs = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__fp"),
+    )
+    multi = (
+        docs.groupBy("__fp")
+        .agg(F.min(id_col).alias("__rep"), F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__fp", "__rep")
+    )
+    return (
+        docs.join(multi, "__fp", "left")
+        .filter(F.col("__rep").isNull() | (F.col(id_col) == F.col("__rep")))
+        .select(id_col, text_col)
+    )
+
+
+def dedup_resolution(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
     """Per-document cluster assignment (node, cluster) with
     EXACT-DEDUP-FIRST discipline: byte-identical documents are
     collapsed to one representative per md5 fingerprint BEFORE the LSH
     stage, so a corpus with 10⁵ identical boilerplate pages puts ONE
     doc — not 10⁵ — into each band bucket (bounded collect_list,
     linear not quadratic).  Exact-dup members are re-attached to their
-    representative's cluster afterwards.
+    representative's cluster afterwards.  `bucket_cap` rides through to
+    minhash_lsh_pairs (callers auditing occupancy via lsh_bucket_stats
+    must pass the SAME cap, or the audit reports on a cap the pair
+    stage never applied).
 
     Semantics: the same components as running LSH over the full corpus
     PLUS an edge between every exact duplicate and its group minimum —
@@ -590,7 +643,9 @@ def dedup_resolution(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col("rep").isNull() | (F.col("node") == F.col("rep")))
         .select(F.col("node").alias(id_col), F.col("__text").alias(text_col))
     )
-    cc = connected_components(minhash_lsh_pairs(reps, id_col, text_col)).select(
+    cc = connected_components(
+        minhash_lsh_pairs(reps, id_col, text_col, bucket_cap=bucket_cap)
+    ).select(
         F.col("node").alias("rep"), F.col("cluster").alias("cc_cluster")
     )
     # Re-expansion joins against ONLY the multi-member fingerprint
