@@ -192,6 +192,84 @@ def test_t1_scrub_precision_on_scunthorpe_heldout():
     assert recall == 1.0, f"T-1 recall {recall:.4f}"
 
 
+# Unseen LATIN-SCRIPT languages (round-5 verdict item 3): function +
+# content wordlists for three languages the model has no profile for.
+# Unlike HELD_OUT these are NOT vocab-disjoint from the training
+# lexicon — cross-language homographs ('de', 'en', 'con', 'die') are
+# exactly what makes this hard, and the measured lexicon coverage of
+# these lists (0.03-0.14 of tokens) vs trained-language text (~0.5) is
+# what the LEX_HIT_MIN gate exploits.
+_UNSEEN_LATIN = {
+    "it": (
+        "di che non per con sono una come anche piu questo ma gli della dei "
+        "nella sul quando molto senza dopo prima ogni tra loro essere fare "
+        "puo gia ancora".split(),
+        "giardino mattina finestra piccolo montagna fiume giallo pietra "
+        "bambini scuola mercato strada cavallo sera estate inverno lettera "
+        "numero secondo minuto mondo paese sempre campagna bellissimo "
+        "ragazzo citta lavoro".split(),
+    ),
+    "pt": (
+        "de que nao uma para com por mais dos das como mas foi ele ela seu "
+        "sua ou quando muito sem depois antes cada entre eles ser fazer "
+        "pode ainda ja".split(),
+        "manha janela jardim pequeno montanha rio amarelo pedra criancas "
+        "escola mercado rua cavalo tarde verao inverno carta numero segundo "
+        "minuto mundo pais sempre nunca trabalho cidade menino bonito".split(),
+    ),
+    "nl": (
+        "de het een en van ik te dat die in je niet zijn op aan met als "
+        "voor er maar om hij dan zou of wat mijn men dit zo".split(),
+        "morgen venster tuin klein berg rivier geel steen huis vader moeder "
+        "kinderen school markt straat paard avond papier zomer winter brief "
+        "nummer seconde minuut wereld land altijd nooit veel".split(),
+    ),
+}
+
+
+def test_l1_false_fire_on_unseen_latin_languages():
+    """An Italian/Portuguese/Dutch page truthfully labeled 'it'/'pt'/
+    'nl' must NOT be dropped as 'wrong language': without the lexicon-
+    coverage gate the model labels such text with the nearest trained
+    neighbor at HIGH margin (measured this round: Italian → 'es' at
+    median margin 0.25 — more confident than genuine French text at
+    median 0.17 — so no MARGIN_MIN raise can separate them; bigram
+    coverage overlaps too, 0.74-0.85 in both groups).  Document-scale
+    text (40-200 words, the generator's range = the rule's operating
+    point); measured false-fire pinned ≤ 1% per language.  The gate
+    must not cost the trained languages their recall: the companion
+    measurement pins ZERO abstention on document-scale trained-language
+    text, and test_l1_rule_f1_on_heldout_distribution keeps its ≥ 0.99
+    F1 on snippets."""
+    rng = random.Random(99)
+
+    def doc(fn, hw):
+        return " ".join(
+            (rng.choice(fn) if rng.random() < 0.5 else rng.choice(hw))
+            for _ in range(rng.randint(40, 200))
+        )
+
+    for label, (fn, hw) in sorted(_UNSEEN_LATIN.items()):
+        fires = 0
+        n = 1000
+        for _ in range(n):
+            pred, margin = predict_lang(doc(fn, hw))
+            # L-1's fire condition: predicted lang disagrees with the
+            # declared label at margin ≥ MARGIN_MIN (pred is never in
+            # {it,pt,nl}, so the margin gate alone decides)
+            fires += (pred != label and margin >= MARGIN_MIN)
+        assert fires / n <= 0.01, f"{label}: L-1 false-fire {fires / n:.3f}"
+
+    # the gate's cost side: document-scale TRAINED-language text never
+    # abstains (keeps L-1 recall intact at the rule's operating point)
+    for lang in sorted(HELD_OUT):
+        fn, hw = sorted(LANG_WORDS[lang]), HELD_OUT[lang]
+        abstain = sum(
+            1 for _ in range(500) if predict_lang(doc(fn, hw))[1] < MARGIN_MIN
+        )
+        assert abstain / 500 <= 0.005, (lang, abstain)
+
+
 def test_l1_abstains_on_unseen_scripts():
     """Text in scripts OUTSIDE the model's label set (Latin + CJK)
     must return ('und', 0.0) so L-1 abstains — round 4 measured that

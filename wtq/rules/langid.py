@@ -24,6 +24,32 @@ _CJK_RE = re.compile(r"[一-鿿]")
 
 _LANGS = sorted(LANG_WORDS)  # deterministic order: de, en, es, fr, zh
 
+# Whole-word training coverage — every Latin-script word the bigram
+# profiles were trained on.  The coverage gate below reads this, not
+# the bigram vocabulary: bigram coverage does NOT separate unseen
+# Latin languages from trained ones (measured: Italian text covers
+# 0.74-0.84 of profile bigrams, the same band as genuine es/fr text)
+# because Romance languages share their character pairs; whole-WORD
+# membership separates cleanly (trained-language text: ~0.5 of tokens
+# are function words from its list; Italian/Portuguese/Dutch: 0.03-0.14,
+# only cross-language homographs like 'de', 'en', 'con').
+_LATIN_LEXICON: frozenset = frozenset(
+    w for lang in _LANGS if lang != "zh" for w in LANG_WORDS[lang]
+)
+
+# Minimum fraction of scored words that must come from the training
+# lexicon for a Latin-script prediction to count.  Below it the doc is
+# mostly words the model never saw whole — an unseen LANGUAGE (not
+# just unseen vocabulary: trained-language text keeps its function-
+# word backbone, which IS the lexicon), and the char-bigram likelihood
+# then just picks the nearest trained neighbor with high margin
+# (measured: Italian → 'es' at median margin 0.25, MORE confident than
+# genuine French text at median 0.17 — the margin gate cannot catch
+# this, round-5 eval in test_heldout_eval.py).  0.25 at document scale
+# (40-200 words): unseen it/pt/nl false-fire ≤ 0.7%, trained-language
+# abstention 0.0% (doc scale) / ≤ 1% (15-35-word snippets).
+LEX_HIT_MIN = 0.25
+
 
 def _bigrams(s: str):
     s = f" {s} "
@@ -125,6 +151,11 @@ def predict_lang(text: str) -> tuple[str, float]:
         return "und", 0.0
     sample = words[:200]  # cap per-doc work (cf. st_subdivide cost bound, SURVEY.md §4)
     if _latin_fraction(sample) < 0.5:
+        return "und", 0.0
+    # Unseen-LANGUAGE abstention (Latin scripts): see LEX_HIT_MIN.
+    # Computed over the same capped sample the scorer consumes, like
+    # the script gate (round-4 preamble-bypass lesson).
+    if sum(1 for w in sample if w in _LATIN_LEXICON) < LEX_HIT_MIN * len(sample):
         return "und", 0.0
     totals = [0.0] * len(_LANGS)
     nbg = 0
