@@ -974,7 +974,13 @@ def simhash_near_pairs(
     recall is not guaranteed 1.0: a member > HAMMING_MAX from the
     bucket minimum loses its star edge even if within range of some
     other member — the price of keeping the verified-distance
-    contract.  The oracle applies the identical cap and star rule."""
+    contract.  Measured (test_simhash_cap_recall_measured, 60-doc
+    drift chain, 19-member bucket under cap=10): pair recall 13/14 ≈
+    0.93, cluster co-membership recall 1.0 — the lost pairs' endpoints
+    stayed connected through surviving chain edges; on a topology
+    whose ONLY links route through a far-from-min member, cluster
+    recall degrades too.  The oracle applies the identical cap and
+    star rule."""
     sig = simhash(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), F.col("simhash")
     )
