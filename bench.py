@@ -79,6 +79,19 @@ def main() -> None:
     run_pipeline(spark, pages_path, num_partitions=cpus).decided.agg(
         F.sum(F.size("fired_rules"))
     ).collect()
+    # The CURATED plan warms separately: it is the largest tree in the
+    # suite (boilerplate doc-frequency join + host-gate aggregation on
+    # top of the pipeline) and its first execution pays one-time
+    # codegen/broadcast-machinery costs the flagless warmup does not
+    # touch.  Round 4 timed it cold and recorded a 38.7s first sample
+    # vs 7.8s warm — the unexplained "bimodality" was simply the
+    # missing warmup (round-5 A/B confirms: warm curated samples track
+    # warm flagless samples at ~1.4-2x, the cost of its two extra
+    # corpus passes).
+    run_pipeline(
+        spark, pages_path, num_partitions=cpus,
+        strip_boilerplate=True, host_gate=True,
+    ).decided.agg(F.sum(F.size("fired_rules"))).collect()
 
     # -- headline: full pipeline with real sinks --
     # Materialize the decided stage ONCE (the reference's CTAS-at-fan-out

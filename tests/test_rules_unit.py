@@ -405,8 +405,8 @@ def test_png_malformed_raises_for_quarantine():
         decode_png(bytes(blob))
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
-    # JPEG stays the documented boundary; unknown containers are errors
-    with pytest.raises(NotImplementedError):
+    # malformed JPEG raises into quarantine; unknown containers are errors
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a...")
@@ -445,7 +445,7 @@ def test_image_quarantine_mixed_formats(spark):
     assert ok_rows[0].mean_r == round(float(np.float64(img0[:, :, 0].mean())), 6)
     assert ok_rows[1].mean_r == round(float(np.float64(img1[:, :, 0].mean())), 6)
     assert "CRC" in quar_rows[2].err
-    assert "NotImplementedError" in quar_rows[3].err
+    assert "ValueError" in quar_rows[3].err  # malformed JPEG (round 5: real decoder)
 
 
 def test_png_filter_roundtrip_hypothesis():

@@ -49,8 +49,8 @@ def test_table_io_fallback(spark, tmp_path):
 
 def test_multimodal_stub_and_batching(spark):
     """mapInPandas plumbing: schema honored, batches stream; the
-    decode seam dispatches real codecs (PNG/PPM) and stubs only
-    JPEG."""
+    decode seam dispatches real codecs for PNG/PPM/JPEG (round 5:
+    the JPEG stub became a real baseline decoder)."""
     import pytest
 
     from wtq.operators.multimodal import decode_image, extract_features, with_blob
@@ -60,7 +60,7 @@ def test_multimodal_stub_and_batching(spark):
     row = feats.filter(F.col("doc_id") == 0).collect()[0]
     assert row.byte_len > 0 and len(row.embedding) == 4
     assert feats.count() == docs.count()
-    with pytest.raises(NotImplementedError):  # JPEG: the documented boundary
+    with pytest.raises(ValueError):  # truncated JPEG: malformed, not a stub
         decode_image(b"\xff\xd8\xff\xe0")
     with pytest.raises(ValueError):  # truncated PNG signature: malformed, not a stub
         decode_image(b"\x89PNG")

@@ -16,12 +16,14 @@ Two tiers:
   Paeth) + CRC verification, gray/RGB/RGBA at bit depth 8 — no
   external codec needed.  This is the full decode → transform →
   featurize shape a training pipeline runs.
-* **Compressed-codec stub** — the remaining boundary is JPEG only
-  (Huffman+DCT; no reference codec in this container to validate a
-  hand-rolled one against); ``decode_image`` dispatches PNG and PPM
-  to the real decoders and raises for JPEG.  ``extract_features``
-  uses a deterministic hash-derived stand-in embedding so the
-  plumbing stays testable.
+* **Baseline JPEG** (round 5, ``wtq/operators/jpeg.py``) — sequential
+  DCT decode AND encode (Huffman entropy coding, 4:2:0/4:4:4,
+  restart markers, byte stuffing), spec-validated via closed-form
+  known-answer bitstreams + round-trip property tests.  Unsupported
+  processes (progressive/arithmetic/12-bit) raise into the
+  quarantine path.  ``extract_features`` uses a deterministic
+  hash-derived stand-in embedding so the plumbing stays testable
+  without model weights.
 """
 
 from __future__ import annotations
@@ -56,22 +58,24 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image(blob: bytes):
-    """Format-dispatching image decode: PNG and binary P6 PPM decode
-    for REAL (pure stdlib-zlib + numpy, below); JPEG is the one
-    remaining boundary — a hand-rolled Huffman+DCT decoder could not
-    be validated against any reference codec in this container, so it
-    raises instead of risking silently wrong rasters.  The pipeline
-    takes the decode function as a seam, so swapping in a JPEG codec
-    is one argument."""
+    """Format-dispatching image decode: PNG, binary P6 PPM, and
+    baseline JPEG all decode for REAL (pure stdlib + numpy).  JPEG
+    (wtq/operators/jpeg.py, round 5) is validated against the SPEC —
+    closed-form known-answer bitstreams plus a full-surface round-trip
+    property — rather than a reference codec (none exists in this
+    container); unsupported JPEG processes (progressive, arithmetic,
+    12-bit) raise ValueError into the quarantine path rather than
+    risking silently wrong rasters.  The pipeline takes the decode
+    function as a seam, so swapping in e.g. libjpeg-turbo is one
+    argument."""
     if blob[:8] == PNG_SIG:
         return decode_png(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
     if blob[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode unavailable: no reference codec in this environment "
-            "to validate against (documented boundary)"
-        )
+        from wtq.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise ValueError("unrecognized image container")
 
 
@@ -560,8 +564,9 @@ def image_features_safe(df: DataFrame, id_col: str = "doc_id", blob_col: str = "
     pinned by tests/test_rules_unit.py.
 
     Decode goes through the format-dispatching seam (`decode_image`),
-    so PPM and PNG blobs both extract for real in one pass and
-    anything else — JPEG included — quarantines instead of crashing."""
+    so PPM, PNG, and baseline JPEG blobs all extract for real in one
+    pass and anything else (corrupt data, progressive JPEG, unknown
+    containers) quarantines instead of crashing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
