@@ -11,7 +11,7 @@ predicate (water.lua:224-241), and tag/content scrubbing
 pages ``(url, warc_ts, html, text, lang)``.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def __getattr__(name):
