@@ -200,3 +200,122 @@ def sql_fingerprints(table: str, id_col: str, text_col: str) -> str:
     return f"""
     SELECT {id_col}, md5(array_to_string({w}, ' ')) AS fp FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (round 5)
+# ---------------------------------------------------------------------------
+# The input hint's pages table carries an `html` binary column; the
+# reference's ingest strips tag payloads before validation
+# (water.lua:84-221 cleans tags per record).  This is the in-engine
+# analog: a pure regexp_replace chain — whole-stage-codegen JVM
+# expressions, zero Python — with a DuckDB mirror.  Pattern dialect is
+# the Java∩RE2 subset (inline (?is) flags, lazy quantifiers, char
+# classes; NO backreferences — RE2 lacks them, hence separate
+# script/style patterns instead of <(script|style)>.*?</\1>).
+#
+# Entity decode order: named entities first, ampersand LAST, so
+# double-encoded text ('&amp;lt;') decodes one level per pass exactly
+# like a standards-following single-pass decoder.
+
+_HTML_SCRIPT_RE = "(?is)<script[^>]*>.*?</script>"
+_HTML_STYLE_RE = "(?is)<style[^>]*>.*?</style>"
+_HTML_COMMENT_RE = "(?s)<!--.*?-->"
+_HTML_TAG_RE = "<[^>]+>"
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_to_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Extract visible text from an HTML payload: drop script/style
+    blocks and comments, count + strip the remaining tags, decode the
+    common entities, collapse whitespace.  Returns
+    (id_col, text, n_tags).  A narrow projection — survives any scale
+    by construction (no shuffle, no UDF)."""
+    s = F.col(html_col).cast("string")
+    s = F.regexp_replace(s, _HTML_SCRIPT_RE, " ")
+    s = F.regexp_replace(s, _HTML_STYLE_RE, " ")
+    s = F.regexp_replace(s, _HTML_COMMENT_RE, " ")
+    n_tags = F.size(F.regexp_extract_all(s, F.lit(_HTML_TAG_RE), 0))
+    s = F.regexp_replace(s, _HTML_TAG_RE, " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return df.select(F.col(id_col), s.alias("text"), n_tags.alias("n_tags"))
+
+
+def sql_html_to_text(table: str, id_col: str, html_col: str) -> str:
+    s = html_col
+    # dotall/case flags ride INSIDE the patterns ((?is)/(?s)) so both
+    # engines read them identically; only 'g' goes in the flag slot
+    for pat in (_HTML_SCRIPT_RE, _HTML_STYLE_RE, _HTML_COMMENT_RE):
+        s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
+    n_tags = f"len(regexp_extract_all({s}, '{_HTML_TAG_RE}'))"
+    s = f"regexp_replace({s}, '{_HTML_TAG_RE}', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        s = f"replace({s}, '{ent.replace(chr(39), chr(39) * 2)}', '{lit}')"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"""
+    SELECT {id_col}, {s} AS text, CAST({n_tags} AS INT) AS n_tags FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# URL normalization (round 5)
+# ---------------------------------------------------------------------------
+# Pre-dedup canonicalization (the C4/RefinedWeb discipline): without
+# it, re-crawls of one page under 'HTTP://Host.com/p?utm_source=x#f'
+# and 'http://host.com/p' count as distinct urls and slip past the
+# re-crawl window dedup, which keys on exact url equality.  All steps
+# are engine-portable expressions; the canonical form is:
+#   lowercase scheme+authority · default ports stripped · fragment
+#   dropped · tracking params (utm_*, fbclid, gclid, ref) dropped ·
+#   remaining query params sorted · single trailing slash stripped.
+
+_SCHEME_AUTH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_TRACKING_RE = "^(utm_[A-Za-z0-9]+|fbclid|gclid|ref)="
+
+
+def normalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Canonical url per document: (id_col, url, norm_url)."""
+    u = F.regexp_replace(F.col(url_col), "#.*", "")  # fragment
+    head = F.lower(F.regexp_extract(u, _SCHEME_AUTH_RE, 0))
+    tail = F.regexp_replace(u, _SCHEME_AUTH_RE, "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80(/|\\?|$)", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443(/|\\?|$)", "$1$2")
+    path = F.regexp_replace(u, "\\?.*", "")
+    path = F.regexp_replace(path, "([^/])/$", "$1")  # trailing slash (root unifies to no-slash)
+    query = F.regexp_extract(u, "\\?(.*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    norm = F.concat(path, F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)))
+    return df.select(F.col(id_col), F.col(url_col).alias("url"), norm.alias("norm_url"))
+
+
+def sql_normalize_urls(table: str, id_col: str, url_col: str) -> str:
+    u = f"regexp_replace({url_col}, '#.*', '')"
+    u = (
+        f"(lower(regexp_extract({u}, '{_SCHEME_AUTH_RE}', 0)) || "
+        f"regexp_replace({u}, '{_SCHEME_AUTH_RE}', ''))"
+    )
+    u = f"regexp_replace({u}, '^(http://[^/?#:]*):80(/|\\?|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/?#:]*):443(/|\\?|$)', '\\1\\2')"
+    path = f"regexp_replace(regexp_replace({u}, '\\?.*', ''), '([^/])/$', '\\1')"
+    query = f"regexp_extract({u}, '\\?(.*)', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}')))"
+    )
+    qs = f"array_to_string({params}, '&')"
+    return f"""
+    SELECT {id_col}, {url_col} AS url,
+           ({path} || CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END) AS norm_url
+    FROM {table}
+    """

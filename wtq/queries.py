@@ -1333,6 +1333,83 @@ def q_strip_boilerplate(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: html→text extraction + url canonicalization.
+# Both synthesize their messy inputs IN-QUERY from the `documents`
+# table with byte-identical expressions on each engine — the driver's
+# DuckDB side only has the ten pre-registered views, so the pages
+# table's html column cannot be the demo input; the operator itself is
+# input-agnostic (wtq/operators/text.py).
+# ---------------------------------------------------------------------------
+
+def q_html_to_text(spark, sf_dir):
+    """Visible-text extraction from an HTML payload (the reference's
+    per-record tag cleaning, water.lua:84-221, as a corpus operator):
+    script/style/comment blocks dropped, tags counted + stripped,
+    entities decoded, whitespace collapsed.  The synthesized wrapper
+    plants every strip class: a script with quotes, a style block, a
+    comment, double-encoded entities, and attribute-bearing tags."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><script type="text/javascript">var t = track("'), did,
+        F.lit('");</script><style>.m{color:#fff}</style></head><body>'
+              "<!-- crawl artifact --><h1>R&amp;D &lt;notes&gt;</h1><p>"),
+        F.col("text"),
+        F.lit('</p><div class="footer">&quot;fin&quot;&nbsp;&#39;ok&#39;</div></body></html>'),
+    )
+    return X.html_to_text(
+        d.select("doc_id", html.alias("html")), "doc_id", "html"
+    )
+
+
+_SQL_HTML_WRAP = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><script type=\"text/javascript\">var t = track(\"' || CAST(doc_id AS VARCHAR) || "
+    "'\");</script><style>.m{color:#fff}</style></head><body>"
+    "<!-- crawl artifact --><h1>R&amp;D &lt;notes&gt;</h1><p>' || text || "
+    "'</p><div class=\"footer\">&quot;fin&quot;&nbsp;&#39;ok&#39;</div></body></html>'"
+)
+
+SQL_HTML_TO_TEXT = f"""
+WITH h AS (SELECT doc_id, {_SQL_HTML_WRAP} AS html FROM documents)
+{X.sql_html_to_text('h', 'doc_id', 'html')}
+"""
+
+
+def q_normalize_url(spark, sf_dir):
+    """Url canonicalization ahead of re-crawl dedup (C4/RefinedWeb
+    discipline): case-folded scheme+authority, default port dropped,
+    fragment dropped, tracking params (utm_*/fbclid/gclid/ref)
+    removed, survivors sorted, trailing slash stripped.  The
+    synthesized urls plant every rule: mixed case, :443 on https, a
+    conditional trailing slash, unsorted params with two trackers,
+    and a fragment."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Docs/"), did,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&gclid=abc&a="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("#sec"), did,
+    )
+    return X.normalize_urls(d.select("doc_id", url.alias("u")), "doc_id", "u")
+
+
+SQL_NORMALIZE_URL = f"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/Docs/' ||
+         CAST(doc_id AS VARCHAR) || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         '?utm_source=feed&z=9&gclid=abc&a=' || CAST(doc_id % 5 AS VARCHAR) ||
+         '#sec' || CAST(doc_id AS VARCHAR) AS u
+  FROM documents)
+{X.sql_normalize_urls('u', 'doc_id', 'u')}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -1351,7 +1428,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_segments": q_nation_segments,
     "top_words": q_top_words,
     "rule_metrics": q_rule_metrics,
-    "rule_top_word": q_rule_top_word,
+    # round 5: rule_top_word rotated to EXTRA (its explode + two-level
+    # agg shape is also witnessed by top_words/tfidf_top_terms) to free
+    # the slot for html_to_text, which exercises a whole new input
+    # class (the pages html payload's cleaning chain)
+    "html_to_text": q_html_to_text,
     "doc_decisions": q_doc_decisions,
     "text_metrics": q_text_metrics,
     "lang_markers": q_lang_markers,
@@ -1408,7 +1489,7 @@ ORACLE_SQL: dict[str, str] = {
     "nation_segments": SQL_NATION_SEGMENTS,
     "top_words": SQL_TOP_WORDS,
     "rule_metrics": SQL_RULE_METRICS,
-    "rule_top_word": SQL_RULE_TOP_WORD,
+    "html_to_text": SQL_HTML_TO_TEXT,
     "doc_decisions": SQL_DOC_DECISIONS,
     "text_metrics": X.sql_text_metrics("documents", "doc_id", "text"),
     "lang_markers": X.sql_lang_markers("documents", "doc_id", "text"),
@@ -1478,6 +1559,12 @@ ORACLE_SQL["strip_boilerplate"] = _C.SQL_STRIP_BOILERPLATE
 #   * event_value_quantiles  → exact quantiles witnessed by
 #                              order_value_deciles (the distributed
 #                              form)
+#   * rule_top_word (round 5) → explode + two-level agg witnessed by
+#                              top_words and tfidf_top_terms; slot
+#                              freed for html_to_text
+# normalize_url (round 5) is EXTRA-only from birth: the registry is
+# capped and the url-canonicalization differential is fully pinned by
+# the pytest gate below.
 # These extras keep the IDENTICAL DuckDB-oracle differential gate via
 # pytest (tests/test_queries_oracle.py parametrizes QUERIES ∪ EXTRA).
 # ---------------------------------------------------------------------------
@@ -1487,6 +1574,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_concat_sorted": q_orders_concat_sorted,
     "intersect_except": q_intersect_except,
     "event_value_quantiles": q_event_value_quantiles,
+    "rule_top_word": q_rule_top_word,
+    "normalize_url": q_normalize_url,
 }
 
 EXTRA_ORACLE_SQL: dict[str, str] = {
@@ -1495,6 +1584,8 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "orders_concat_sorted": SQL_ORDERS_CONCAT_SORTED,
     "intersect_except": SQL_INTERSECT_EXCEPT,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
+    "rule_top_word": SQL_RULE_TOP_WORD,
+    "normalize_url": SQL_NORMALIZE_URL,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"
