@@ -173,6 +173,7 @@ def main() -> None:
         "spatial_radius_join",
         "tfidf_top_terms",
         "media_features",
+        "html_to_text",
         "ann_ivf_topk",
         "order_value_deciles",
         # curation family (driver-registered since round 4)

@@ -72,6 +72,7 @@ def build_training_set(
     benchmark: DataFrame | None = None,
     lsh_bucket_cap: int = LSH_BUCKET_CAP,
     lsh_audit: bool = True,
+    normalize_urls: bool = False,
 ) -> BuildResult:
     """Run the full curation stack and write train/val/test parquet.
 
@@ -94,13 +95,17 @@ def build_training_set(
     through the stages) and, when `lsh_audit`, `6N_lsh_*` audit gauges
     (over-cap bucket count and max bucket size — NOT document counts).
     """
-    # 1. quality filter with both curation passes
+    # 1. quality filter with both curation passes (+ optional url
+    # canonicalization ahead of the re-crawl window — when on, every
+    # downstream url-keyed stage, the split included, keys on the
+    # canonical form)
     decided = run_pipeline(
         spark,
         pages_path,
         num_partitions=num_partitions,
         strip_boilerplate=True,
         host_gate=True,
+        normalize_urls=normalize_urls,
     ).decided
     kept = decided.filter("keep").select("url", "text")
     # the chain is re-used by several counting/writing consumers below;

@@ -277,9 +277,12 @@ _SCHEME_AUTH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 _TRACKING_RE = "^(utm_[A-Za-z0-9]+|fbclid|gclid|ref)="
 
 
-def normalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
-    """Canonical url per document: (id_col, url, norm_url)."""
-    u = F.regexp_replace(F.col(url_col), "#.*", "")  # fragment
+def normalize_url_col(url: Column) -> Column:
+    """Column-level canonicalization — shared by the `normalize_urls`
+    operator and the pipeline's `normalize_urls` flag (which rewrites
+    the url ahead of the re-crawl dedup window so crawl variants land
+    in one group).  Pure expression: whole-stage codegen, no shuffle."""
+    u = F.regexp_replace(url, "#.*", "")  # fragment
     head = F.lower(F.regexp_extract(u, _SCHEME_AUTH_RE, 0))
     tail = F.regexp_replace(u, _SCHEME_AUTH_RE, "")
     u = F.concat(head, tail)
@@ -295,8 +298,16 @@ def normalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         )
     )
     qs = F.array_join(params, "&")
-    norm = F.concat(path, F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)))
-    return df.select(F.col(id_col), F.col(url_col).alias("url"), norm.alias("norm_url"))
+    return F.concat(path, F.when(qs == "", "").otherwise(F.concat(F.lit("?"), qs)))
+
+
+def normalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Canonical url per document: (id_col, url, norm_url)."""
+    return df.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        normalize_url_col(F.col(url_col)).alias("norm_url"),
+    )
 
 
 def sql_normalize_urls(table: str, id_col: str, url_col: str) -> str:
