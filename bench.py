@@ -174,6 +174,7 @@ def main() -> None:
         "tfidf_top_terms",
         "media_features",
         "html_to_text",
+        "nb_quality_scores",
         "ann_ivf_topk",
         "order_value_deciles",
         # curation family (driver-registered since round 4)

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wtq.operators import classifier as CL
 from wtq.operators import dedup as D
 from wtq.operators import similarity as S
 from wtq.operators import spatial as G
@@ -1209,6 +1210,32 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_nb_quality_scores(spark, sf_dir):
+    """Model-based quality filter (the CCNet/GPT-3 classifier layer the
+    reference's CASE-ladder rules lack, proccess_data.sql:244-420):
+    closed-form Naive-Bayes log-odds trained on a seed slice (40% of
+    docs, label = lang='en' as the curated-reference proxy), scored on
+    the held-out complement.  Training is two aggregations over the
+    seed; scoring is a zero-shuffle broadcast-map pass with an exact
+    integer micro-unit score (order-independent — no float-summation
+    nondeterminism; see wtq/operators/classifier.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return CL.nb_quality_scores(
+        d,
+        seed_pred=F.col("doc_id") % 5 < 2,
+        pos_pred=F.col("lang") == "en",
+    )
+
+
+SQL_NB_QUALITY_SCORES = CL.sql_nb_quality_scores(
+    "documents",
+    "doc_id",
+    "text",
+    seed_sql="doc_id % 5 < 2",
+    pos_sql="lang = 'en'",
+)
+
+
 def q_spatial_radius_join(spark, sf_dir):
     """Spatial-predicate join (st_dwithin/st_intersects analog,
     proccess_data.sql:148-172, KNN `<->` :424-436): grid-cell bucketed
@@ -1427,7 +1454,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_case_ladder": q_priority_case_ladder,
     "nation_segments": q_nation_segments,
     "top_words": q_top_words,
-    "rule_metrics": q_rule_metrics,
+    # round 5 (session 2): rule_metrics rotated to EXTRA — its three
+    # scalar rule expressions are each exercised end-to-end by the
+    # registered doc_decisions (full rule battery) and text_metrics
+    # (token/quality scalars); slot freed for the model-based quality
+    # classifier, a whole operator family (seed-trained scorer) the
+    # registry did not yet witness
+    "nb_quality_scores": q_nb_quality_scores,
     # round 5: rule_top_word rotated to EXTRA (its explode + two-level
     # agg shape is also witnessed by top_words/tfidf_top_terms) to free
     # the slot for html_to_text, which exercises a whole new input
@@ -1488,7 +1521,7 @@ ORACLE_SQL: dict[str, str] = {
     "priority_case_ladder": SQL_PRIORITY_CASE_LADDER,
     "nation_segments": SQL_NATION_SEGMENTS,
     "top_words": SQL_TOP_WORDS,
-    "rule_metrics": SQL_RULE_METRICS,
+    "nb_quality_scores": SQL_NB_QUALITY_SCORES,
     "html_to_text": SQL_HTML_TO_TEXT,
     "doc_decisions": SQL_DOC_DECISIONS,
     "text_metrics": X.sql_text_metrics("documents", "doc_id", "text"),
@@ -1562,6 +1595,11 @@ ORACLE_SQL["strip_boilerplate"] = _C.SQL_STRIP_BOILERPLATE
 #   * rule_top_word (round 5) → explode + two-level agg witnessed by
 #                              top_words and tfidf_top_terms; slot
 #                              freed for html_to_text
+#   * rule_metrics (round 5, session 2) → three scalar rule exprs
+#                              each witnessed end-to-end by
+#                              doc_decisions (rule battery) and
+#                              text_metrics; slot freed for
+#                              nb_quality_scores (model-based filter)
 # normalize_url (round 5) is EXTRA-only from birth: the registry is
 # capped and the url-canonicalization differential is fully pinned by
 # the pytest gate below.
@@ -1576,6 +1614,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_quantiles": q_event_value_quantiles,
     "rule_top_word": q_rule_top_word,
     "normalize_url": q_normalize_url,
+    "rule_metrics": q_rule_metrics,
 }
 
 EXTRA_ORACLE_SQL: dict[str, str] = {
@@ -1586,6 +1625,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "rule_top_word": SQL_RULE_TOP_WORD,
     "normalize_url": SQL_NORMALIZE_URL,
+    "rule_metrics": SQL_RULE_METRICS,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"
