@@ -136,3 +136,77 @@ def test_build_with_explicit_benchmark(spark, pages_path, tmp_path):
     if n_words >= 13:
         assert hit == 0
     assert res.lineage.filter("stage = '50_written'").collect()[0].n_docs > 0
+
+
+def test_build_classifier_gate_drops_negative_family(spark, pages_path, tmp_path):
+    """Model-based gate (classifier_seed): two planted families of
+    rule-passing pages with disjoint content vocabulary; a seed labeled
+    P-positive / N-negative must keep family P and drop family N — and
+    the SAME corpus built WITHOUT the seed must keep both, proving the
+    drop is the classifier's and not the rule battery's."""
+    import random
+
+    import pandas as pd
+
+    from wtq.rules.lexicon import CONTENT_WORDS, LANG_WORDS
+
+    rng = random.Random(11)
+    half = len(CONTENT_WORDS) // 2
+    vocab_p, vocab_n = CONTENT_WORDS[:half], CONTENT_WORDS[half:]
+
+    def page_text(vocab, seed_words=120):
+        # 45% English stopword-ish words keep the rule battery green
+        # (same recipe as the flood test); content words come from ONE
+        # family's vocabulary so the NB scorer can separate them
+        return " ".join(
+            rng.choice(LANG_WORDS["en"]) if rng.random() < 0.45 else rng.choice(vocab)
+            for _ in range(seed_words)
+        )
+
+    rows = []
+    base_ts = pd.Timestamp("2025-01-01")
+    for fam, vocab in (("pfam", vocab_p), ("nfam", vocab_n)):
+        for i in range(4):
+            text = page_text(vocab)
+            rows.append(
+                (
+                    f"https://{fam}.example.com/doc/{i}",
+                    base_ts,
+                    b"<html><body>" + text.encode() + b"</body></html>",
+                    text,
+                    "en",
+                )
+            )
+    planted = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    fixture = pd.read_parquet(pages_path)
+    merged = pd.concat([fixture, planted], ignore_index=True)
+    merged["warc_ts"] = merged["warc_ts"].astype("datetime64[us]")
+    src = str(tmp_path / "pages_fams.parquet")
+    merged.to_parquet(src, index=False)
+
+    seed = spark.createDataFrame(
+        [(page_text(vocab_p), True) for _ in range(6)]
+        + [(page_text(vocab_n), False) for _ in range(6)],
+        "text string, y boolean",
+    )
+
+    out_b = str(tmp_path / "corpus_nogate")
+    base = build_training_set(spark, src, out_b, num_partitions=8, lsh_audit=False)
+    base_written = spark.read.parquet(out_b)
+    assert base_written.filter(F.col("url").contains("nfam")).count() > 0
+    assert base_written.filter(F.col("url").contains("pfam")).count() > 0
+    assert "15_classifier_kept" not in {r.stage for r in base.lineage.collect()}
+
+    out_g = str(tmp_path / "corpus_gated")
+    gated = build_training_set(
+        spark, src, out_g, num_partitions=8, lsh_audit=False, classifier_seed=seed
+    )
+    lineage = {r.stage: r.n_docs for r in gated.lineage.collect()}
+    assert (
+        lineage["10_quality_kept"]
+        > lineage["15_classifier_kept"]
+        >= lineage["20_after_dedup"]
+    ), lineage
+    written = spark.read.parquet(out_g)
+    assert written.filter(F.col("url").contains("nfam")).count() == 0
+    assert written.filter(F.col("url").contains("pfam")).count() > 0

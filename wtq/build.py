@@ -2,6 +2,8 @@
 curation stack the way a production corpus build runs it.
 
     pages ─ quality filter (+ boilerplate strip, + host gate)
+          ─ optional model-based quality gate (seed-trained NB scorer,
+            zero-shuffle scoring pass — wtq/operators/classifier.py)
           ─ near-dup removal (exact-first LSH clusters, keep min-id rep)
           ─ benchmark decontamination (held-out hash-slice of the corpus,
             or an explicit benchmark gram table)
@@ -34,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wtq.operators import curation as C
+from wtq.operators.classifier import nb_score, train_nb_weights
 from wtq.operators.dedup import (
     LSH_BUCKET_CAP,
     dedup_resolution,
@@ -73,6 +76,8 @@ def build_training_set(
     lsh_bucket_cap: int = LSH_BUCKET_CAP,
     lsh_audit: bool = True,
     normalize_urls: bool = False,
+    classifier_seed: DataFrame | None = None,
+    classifier_min_micro: int = 0,
 ) -> BuildResult:
     """Run the full curation stack and write train/val/test parquet.
 
@@ -82,6 +87,13 @@ def build_training_set(
     benchmark role and is excluded from every split — the
     self-contained analog of decontaminating against a real eval
     suite.
+
+    `classifier_seed`: optional labeled seed (columns `text`,
+    `y` boolean) enabling the model-based quality gate between the
+    rule battery and the dedup stage; docs scoring ≤
+    `classifier_min_micro` (micro-log-odds, default 0 = "negatives
+    more likely") are dropped and the lineage gains a
+    `15_classifier_kept` row.
 
     `lsh_bucket_cap` is applied to the dedup stage's pair expansion AND
     to the occupancy audit, so the audit always reports on the cap the
@@ -116,6 +128,29 @@ def build_training_set(
     # time (round-4 advisory — measured as the build's dominant
     # redundant cost at scale).
     kept = kept.localCheckpoint(eager=True)
+    quality_kept = kept  # pre-gate frame: stage-10 lineage counts this
+
+    # 1b. optional model-based gate (the CCNet/GPT-3 classifier layer):
+    # train closed-form NB log-odds on the caller's labeled seed
+    # (columns: text, y boolean — True = quality reference, False =
+    # raw-crawl negatives) and keep docs scoring above the threshold.
+    # Runs BEFORE the near-dup stage on purpose: scoring is a
+    # zero-shuffle broadcast-map pass (a free rider on the kept scan),
+    # while LSH + connected components is the build's most expensive
+    # stage — gating first shrinks its input.  score_micro is an exact
+    # BIGINT, so the kept set is bit-stable at any parallelism.
+    classifier_count: dict[str, int] = {}
+    if classifier_seed is not None:
+        weights, consts = train_nb_weights(
+            classifier_seed, text_col="text", label_col="y"
+        )
+        kept = (
+            nb_score(kept, weights, consts, text_col="text", id_cols=("url", "text"))
+            .filter(F.col("score_micro") > classifier_min_micro)
+            .select("url", "text")
+            .localCheckpoint(eager=True)
+        )
+        classifier_count["15_classifier_kept"] = kept.count()
 
     # 2. near-dup removal: keep each cluster's min-id representative
     non_reps = (
@@ -189,13 +224,14 @@ def build_training_set(
 
     counts = {
         "00_input": spark.read.parquet(pages_path).select("url").distinct().count(),
-        "10_quality_kept": kept.count(),
+        "10_quality_kept": quality_kept.count(),
         "20_after_dedup": deduped.count(),
         "30_after_decontam": clean.count(),
         "40_after_budget": final.count(),
     }
     written = spark.read.parquet(out_dir)
     counts["50_written"] = written.count()
+    counts.update(classifier_count)
     counts.update(audit)
     lineage = spark.createDataFrame(
         sorted(counts.items()), "stage string, n_docs long"
