@@ -93,3 +93,44 @@ def test_streaming_pipeline_is_incremental(spark, pages_path, tmp_path):
     total = spark.read.parquet(out)
     assert total.count() == n1 + 7  # batch1 NOT reprocessed
     assert total.filter(total.url.endswith("-late")).count() == 7
+
+
+def test_streaming_classifier_scores_match_batch(spark, tmp_path):
+    """Model-based quality scoring on an incremental crawl: nb_score is
+    a stateless stream-static broadcast pass, so the same call works
+    unchanged on a readStream source and must score doc-for-doc
+    identically to batch (exact BIGINT scores — equality, no
+    tolerance)."""
+    from wtq.operators.classifier import nb_score, train_nb_weights
+
+    seed = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over the lazy dog", True),
+            ("a clear morning with coffee and a good book", True),
+            ("zxq vrb plk qqj xxw zzv mmk rrt yyp wwl", False),
+            ("jjx kkq vvz ppw qqr llt zzy xxo mml rrw", False),
+        ],
+        "text string, y boolean",
+    )
+    w, c = train_nb_weights(seed)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        nb_score(stream, w, c)
+        .writeStream.format("memory")
+        .queryName("nb_stream_scores")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from nb_stream_scores").toPandas()
+    exp = nb_score(spark.read.parquet(src), w, c).toPandas()
+    key = ["doc_id", "n_toks", "score_micro", "keep_pred"]
+    g = got[key].sort_values("doc_id").reset_index(drop=True)
+    e = exp[key].sort_values("doc_id").reset_index(drop=True)
+    assert g.equals(e) and len(g) == docs.count()
