@@ -1236,6 +1236,32 @@ SQL_NB_QUALITY_SCORES = CL.sql_nb_quality_scores(
 )
 
 
+def q_nb_score_threshold(spark, sf_dir):
+    """DCLM-style calibration on top of the model-based scores: the
+    exact threshold keeping the top 20% of held-out docs.  Distributed
+    k-th-largest via the order_value_deciles rank discipline (range
+    repartition + broadcast prefix offsets — no global single-task
+    sort, no whole-column percentile buffer); oracle = window
+    row_number over the same scored set."""
+    scored = q_nb_quality_scores(spark, sf_dir)
+    return CL.score_threshold_for_keep_rate(scored, 1, 5)
+
+
+SQL_NB_SCORE_THRESHOLD = f"""
+WITH scored AS ({SQL_NB_QUALITY_SCORES}),
+r AS (
+  SELECT score_micro,
+         row_number() OVER (ORDER BY score_micro DESC) AS rn,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT score_micro AS threshold_micro,
+       CAST(greatest(1, (n * 1) // 5) AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rn = greatest(1, (n * 1) // 5)
+"""
+
+
 def q_spatial_radius_join(spark, sf_dir):
     """Spatial-predicate join (st_dwithin/st_intersects analog,
     proccess_data.sql:148-172, KNN `<->` :424-436): grid-cell bucketed
@@ -1615,6 +1641,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_top_word": q_rule_top_word,
     "normalize_url": q_normalize_url,
     "rule_metrics": q_rule_metrics,
+    "nb_score_threshold": q_nb_score_threshold,
 }
 
 EXTRA_ORACLE_SQL: dict[str, str] = {
@@ -1626,6 +1653,7 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
     "rule_top_word": SQL_RULE_TOP_WORD,
     "normalize_url": SQL_NORMALIZE_URL,
     "rule_metrics": SQL_RULE_METRICS,
+    "nb_score_threshold": SQL_NB_SCORE_THRESHOLD,
 }
 
 assert len(QUERIES) == 50, f"driver registry must stay at 50, got {len(QUERIES)}"
