@@ -177,3 +177,12 @@ def test_threshold_rejects_bad_rate(spark):
     for num, den in ((0, 5), (6, 5), (-1, 5)):
         with pytest.raises(ValueError):
             score_threshold_for_keep_rate(scored, num, den)
+
+
+def test_threshold_empty_input_returns_no_row(spark):
+    """Empty scored input → empty result (no threshold exists), not an
+    error — callers gate on row presence."""
+    from wtq.operators.classifier import score_threshold_for_keep_rate
+
+    empty = spark.createDataFrame([], "score_micro long")
+    assert score_threshold_for_keep_rate(empty, 1, 5).count() == 0
