@@ -83,9 +83,14 @@ def score_udf(texts: pd.Series) -> pd.DataFrame:
     rows = []
     for t in texts:
         sr = scrub_text(t)
-        lang, margin = predict_lang(sr.text)
-        ppl = char_perplexity(sr.text)
-        st = H.py_stats(sr.text)
+        # one lower (+ split) shared by langid, perplexity and
+        # py_stats.has_lorem (round-6); the public single-argument
+        # calls are value-identical
+        tl = sr.text.lower()
+        lw = tl.split()
+        lang, margin = predict_lang(sr.text, _lwords=lw)
+        ppl = char_perplexity(sr.text, _lwords=lw)
+        st = H.py_stats(sr.text, _ltext=tl)
         rows.append(
             (
                 sr.text,

@@ -648,9 +648,11 @@ def q_rule_metrics(spark, sf_dir):
     words = _doc_words(F.col("text"))
     n = F.size(words)
     nw = F.greatest(n, F.lit(1))
-    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    # isin → codegen InSet hash lookup (round-6; value-identical to the
+    # interpreted array_contains scan, ~4× faster per word)
+    stop_list = sorted(STOPWORDS)
     stop_frac = F.size(
-        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+        F.filter(words, lambda w: F.lower(w).isin(*stop_list))
     ).cast("double") / nw
     mean = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
         "double"
@@ -722,8 +724,8 @@ def q_doc_decisions(spark, sf_dir):
     words = _doc_words(F.col("text"))
     n = F.size(words)
     nw = F.greatest(n, F.lit(1)).cast("double")
-    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
-    stop_frac = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))) / nw
+    stop_list = sorted(STOPWORDS)
+    stop_frac = F.size(F.filter(words, lambda w: F.lower(w).isin(*stop_list))) / nw
     mean = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)) / nw
     codes = F.concat_ws(
         ",",

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -167,73 +168,98 @@ def py_dup_ngram_frac(words: list[str], n: int) -> float:
     return dup / total
 
 
-def _py_repetition_stats(words: list[str]) -> dict[str, float]:
-    """All nine Gopher n-gram stats in one cascaded pass — value-equal
-    to calling py_top_ngram_frac / py_dup_ngram_frac per n (property-
-    tested), but hot-path-shaped (this is the pipeline's Arrow-pass
-    inner loop):
+def _rep_stats_core(
+    L: int, ids64: "np.ndarray", wchars: "np.ndarray", total: int
+) -> dict[str, float]:
+    """All nine Gopher n-gram stats in one cascaded pass over
+    pre-interned word ids — value-equal to calling py_top_ngram_frac /
+    py_dup_ngram_frac per n (property-tested), but hot-path-shaped
+    (this is the pipeline's Arrow-pass inner loop):
 
-      * words are interned to ints once;
       * each level's grams are built INCREMENTALLY: an n-gram key is
         (intern id of its (n−1)-gram prefix) · W + (last word id) —
-        one multiply-add listcomp + a Counter over small ints per
-        level, never n-tuple construction/hashing (keys stay < L·W ≤
-        L², machine ints);
-      * gram char lengths accumulate along the same chain, and are
-        only materialized for the grams that matter (top-count
-        candidates / duplicated grams);
+        one vectorized multiply-add + np.unique per level (round-6:
+        the per-level Python listcomp + Counter became numpy int64
+        arrays; keys stay < L·W ≤ L², machine ints, and np.unique's
+        inverse indices ARE the next level's interning — relabeling
+        preserves the gram equivalence classes and char data, which is
+        all the counts depend on);
+      * gram char lengths accumulate along the same chain (kch indexed
+        by the unique-key array);
       * the subgram implication (a repeated n-gram contains a repeated
         (n−1)-gram) exits the cascade at the first repetition-free
         order, so clean documents cost ONE level.
+
+    All arithmetic is integer until the final division, so the emitted
+    doubles are bit-identical to the dict/Counter form this replaces.
     """
     out = {f"top_{n}gram_frac": 0.0 for n in (2, 3, 4)}
     out.update({f"dup_{n}gram_frac": 0.0 for n in range(5, 11)})
-    total = sum(len(w) for w in words)
-    L = len(words)
     if total == 0 or L < 2:
         return out
-    idx: dict[str, int] = {}
-    ids = [idx.setdefault(w, len(idx)) for w in words]
-    W = len(idx)
-    wchars = [0] * W
-    for w, i in idx.items():
-        wchars[i] = len(w)
-
+    W = wchars.shape[0]
     # level state: cur[p] = intern id of the (n-1)-gram at position p;
-    # pchars[gid] = its char length.  Level 1 = the words themselves.
-    cur, pchars = ids, wchars
+    # pch[gid] = its char length.  Level 1 = the words themselves.
+    cur, pch = ids64, wchars
     for n in range(2, 11):
         if L < n:
             break
         # key of the n-gram at p: prefix gram id · W + last word id
-        keys = [g * W + w for g, w in zip(cur, ids[n - 1 :])]
-        c = Counter(keys)
-
-        def key_chars(k: int) -> int:
-            return pchars[k // W] + wchars[k % W]
-
+        keys = cur[: L - n + 1] * W + ids64[n - 1 :]
+        uniq, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+        kch = pch[uniq // W] + wchars[uniq % W]
         if n <= 4:
-            cnt = max(c.values())
-            if cnt < 2:
+            mx = int(cnt.max())
+            if mx < 2:
                 break  # no repeated n-gram ⇒ none at any higher order
             # tie-break on chars (value-determining, representation-
             # independent — matches py_top_ngram_frac)
-            chars = max(key_chars(k) for k, v in c.items() if v == cnt)
-            out[f"top_{n}gram_frac"] = cnt * chars / total
+            chars = int(kch[cnt == mx].max())
+            out[f"top_{n}gram_frac"] = mx * chars / total
         else:
-            dup = sum(key_chars(k) * (v - 1) for k, v in c.items() if v > 1)
+            m = cnt > 1
+            dup = int(((cnt[m] - 1) * kch[m]).sum())
             if dup == 0:
                 break
             out[f"dup_{n}gram_frac"] = dup / total
         if n < 10 and L >= n + 1:
-            # intern this level's grams for the next level
-            uniq = {k: j for j, k in enumerate(c)}
-            pchars = [key_chars(k) for k in c]
-            cur = [uniq[k] for k in keys]
+            # the inverse indices intern this level's grams for the next
+            cur, pch = inv.astype(np.int64, copy=False), kch
     return out
 
 
-def py_stats(text: str) -> dict[str, float]:
+def _intern_words(words: list[str]):
+    """One interning pass shared by the mean/top-word/stopword stats
+    and the repetition cascade: (ids64, wchars, counts) — word ids in
+    document order, per-unique-word char lengths, per-unique-word
+    occurrence counts."""
+    idx: dict[str, int] = {}
+    setd = idx.setdefault
+    ids = [setd(w, len(idx)) for w in words]
+    U = len(idx)
+    ids64 = np.asarray(ids, dtype=np.int64)
+    wchars = np.empty(U, dtype=np.int64)
+    for w, i in idx.items():
+        wchars[i] = len(w)
+    counts = np.bincount(ids64, minlength=U)
+    return idx, ids64, wchars, counts
+
+
+def _py_repetition_stats(words: list[str]) -> dict[str, float]:
+    """Public/test entry: intern then run the shared cascade core."""
+    total = sum(len(w) for w in words)
+    if total == 0 or len(words) < 2:
+        out = {f"top_{n}gram_frac": 0.0 for n in (2, 3, 4)}
+        out.update({f"dup_{n}gram_frac": 0.0 for n in range(5, 11)})
+        return out
+    _, ids64, wchars, _ = _intern_words(words)
+    return _rep_stats_core(len(words), ids64, wchars, total)
+
+
+def py_stats(text: str, _ltext: "str | None" = None) -> dict[str, float]:
+    """`_ltext` optionally supplies text.lower() (the pipeline's Arrow
+    pass computes it once for langid/perplexity/has_lorem — round-6);
+    value-identical to the single-argument call."""
     text = text or ""
     words = py_words(text)
     lines = py_lines(text)
@@ -241,22 +267,39 @@ def py_stats(text: str) -> dict[str, float]:
     n_lines = len(lines)
     nw = max(n_words, 1)
     nl = max(n_lines, 1)
+    if n_words:
+        # shared interning (round-6): mean/top-word/stopword and the
+        # repetition cascade all read one pass.  Integer sums → the
+        # same divisions → bit-identical to the per-stat loops.
+        idx, ids64, wchars, counts = _intern_words(words)
+        total_chars = int(counts @ wchars)
+        n_stop = 0
+        for w, i in idx.items():
+            if w.lower() in STOPWORDS:
+                n_stop += int(counts[i])
+        top_word = int(counts.max())
+        rep = _rep_stats_core(n_words, ids64, wchars, total_chars)
+    else:
+        total_chars = n_stop = top_word = 0
+        rep = _py_repetition_stats(words)
     return {
         "n_words": n_words,
         "n_lines": n_lines,
-        "mean_word_len": (sum(len(w) for w in words) / n_words) if n_words else 0.0,
+        "mean_word_len": (total_chars / n_words) if n_words else 0.0,
         # str.count per symbol char (C speed) == the per-char scan for
         # single-char needles
         "symbol_ratio": sum(text.count(c) for c in R.SYMBOLS) / nw,
-        "stopword_frac": sum(1 for w in words if w.lower() in STOPWORDS) / nw,
+        "stopword_frac": n_stop / nw,
         "bullet_frac": sum(1 for l in lines if l.startswith(("- ", "* ", "•"))) / nl,
         "ellipsis_frac": sum(1 for l in lines if l.endswith("...")) / nl,
         "rep_line_frac": py_rep_line_frac(text),
-        "top_word_frac": (max(Counter(words).values()) / n_words) if words else 0.0,
+        "top_word_frac": (top_word / n_words) if words else 0.0,
         "brace_line_frac": sum(1 for l in lines if "{" in l or "}" in l) / nl,
-        "has_lorem": 1.0 if "lorem ipsum" in text.lower() else 0.0,
+        "has_lorem": 1.0
+        if "lorem ipsum" in (_ltext if _ltext is not None else text.lower())
+        else 0.0,
         "dup_para_frac": py_dup_para_frac(text),
-        **_py_repetition_stats(words),
+        **rep,
     }
 
 

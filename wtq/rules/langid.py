@@ -90,11 +90,23 @@ def _cjk_fraction(s: str) -> float:
     return n / len(s)
 
 
-@lru_cache(maxsize=262144)
+# plain-dict memo (round-6: ~2× cheaper per hit than lru_cache — no
+# recency bookkeeping; cleared wholesale at the bound, like dedup's
+# _HASH_MEMO, so executor memory stays flat on adversarial vocab)
+_WORD_SCORES_MEMO: dict = {}
+_WORD_SCORES_MAX = 1 << 18
+
+
 def _word_scores(w: str) -> tuple[tuple[float, ...], int]:
     """Per-word log-likelihood under each language profile (+ bigram
     count).  Word-level memoization: function words repeat constantly
     in natural text, so the hit rate is high and deterministic."""
+    memo = _WORD_SCORES_MEMO
+    hit = memo.get(w)
+    if hit is not None:
+        return hit
+    if len(memo) > _WORD_SCORES_MAX:
+        memo.clear()
     profiles = _profiles()
     scores = []
     n = 0
@@ -107,7 +119,15 @@ def _word_scores(w: str) -> tuple[tuple[float, ...], int]:
             s += prof.get(bg, base)
             n += 1
         scores.append(s)
-    return tuple(scores), n
+    out = (tuple(scores), n)
+    memo[w] = out
+    return out
+
+
+# any char outside the Latin blocks (>= U+0250) — one compiled-regex
+# scan replaces the per-char ord() loop (round-6: the Python loop was
+# ~10× the cost of the C scan on the same sample)
+_NON_LATIN_RE = re.compile("[\u0250-\U0010ffff]")
 
 
 def _latin_fraction(words) -> float:
@@ -119,16 +139,15 @@ def _latin_fraction(words) -> float:
     non-Latin prose (found in round-4 self-review, regression-pinned),
     while the alpha-word sample cannot contain a letterless prefix by
     construction."""
-    letters = latin = 0
-    for w in words:
-        for c in w:
-            letters += 1
-            if ord(c) < 0x250:
-                latin += 1
-    return latin / letters if letters else 1.0
+    joined = "".join(words)
+    letters = len(joined)
+    if not letters:
+        return 1.0
+    latin = letters - len(_NON_LATIN_RE.findall(joined))
+    return latin / letters
 
 
-def predict_lang(text: str) -> tuple[str, float]:
+def predict_lang(text: str, _lwords: "list[str] | None" = None) -> tuple[str, float]:
     """Return (lang, margin). margin = mean-per-bigram log-likelihood
     gap between best and second-best language; 0.0 when undecidable.
 
@@ -146,10 +165,18 @@ def predict_lang(text: str) -> tuple[str, float]:
     if _cjk_fraction(text) > 0.30:
         return "zh", 10.0
     # Score lowercase words only (strip digits/symbols deterministically).
-    words = [w for w in text.lower().split() if w.isalpha()]
-    if not words:
+    # `_lwords` lets the pipeline's Arrow pass share ONE
+    # text.lower().split() with char_perplexity (round-6; identical
+    # value by construction).
+    # cap per-doc work at 200 scored words (cf. st_subdivide cost
+    # bound, SURVEY.md §4); islice stops the filter at the cap instead
+    # of filtering the whole document first (round-6, value-identical)
+    from itertools import islice
+
+    lwords = _lwords if _lwords is not None else text.lower().split()
+    sample = list(islice((w for w in lwords if w.isalpha()), 200))
+    if not sample:
         return "und", 0.0
-    sample = words[:200]  # cap per-doc work (cf. st_subdivide cost bound, SURVEY.md §4)
     if _latin_fraction(sample) < 0.5:
         return "und", 0.0
     # Unseen-LANGUAGE abstention (Latin scripts): see LEX_HIT_MIN.
@@ -157,13 +184,12 @@ def predict_lang(text: str) -> tuple[str, float]:
     # the script gate (round-4 preamble-bypass lesson).
     if sum(1 for w in sample if w in _LATIN_LEXICON) < LEX_HIT_MIN * len(sample):
         return "und", 0.0
-    totals = [0.0] * len(_LANGS)
-    nbg = 0
-    for w in sample:
-        ws, n = _word_scores(w)
-        for i, s in enumerate(ws):
-            totals[i] += s
-        nbg += n
+    # column-wise sequential sums: sum() adds left-to-right, so each
+    # language's total is the identical float chain the per-word
+    # accumulation loop produced (round-6 hot-path shape)
+    scored = [_word_scores(w) for w in sample]
+    totals = [sum(col) for col in zip(*(ws for ws, _ in scored))]
+    nbg = sum(n for _, n in scored)
     if nbg == 0:
         return "und", 0.0
     ranked = sorted(zip(totals, _LANGS), key=lambda kv: (-kv[0], kv[1]))

@@ -38,11 +38,23 @@ def _model() -> tuple[dict[str, int], dict[str, int], int]:
     return tri, bi, vocab
 
 
-@lru_cache(maxsize=262144)
+# plain-dict memo (round-6: ~2× cheaper per hit than lru_cache — no
+# recency bookkeeping; cleared wholesale at the bound so executor
+# memory stays flat on adversarial vocab)
+_WORD_LL_MEMO: dict = {}
+_WORD_LL_MAX = 1 << 18
+
+
 def _word_ll(w: str) -> tuple[float, int]:
     """(sum log-prob, n trigrams) for one space-padded word.  Word-level
     memoization: natural text repeats words constantly, so the hit rate
     is high and deterministic (same trick as langid._word_scores)."""
+    memo = _WORD_LL_MEMO
+    hit = memo.get(w)
+    if hit is not None:
+        return hit
+    if len(memo) > _WORD_LL_MAX:
+        memo.clear()
     tri, bi, vocab = _model()
     s = "  " + w + " "
     ll = 0.0
@@ -52,29 +64,33 @@ def _word_ll(w: str) -> tuple[float, int]:
         den = bi.get(s[i : i + 2], 0) + vocab
         ll += math.log(num / den)
         n += 1
-    return ll, n
+    out = (ll, n)
+    memo[w] = out
+    return out
 
 
-def char_perplexity(text: str, max_words: int = 400) -> float:
+def char_perplexity(
+    text: str, max_words: int = 400, _lwords: "list[str] | None" = None
+) -> float:
     """Per-char perplexity under the trigram LM, computed word-by-word
     (each word scored in a space-padded context, totals pooled); 0.0
     for empty text.  Work is capped at max_words per document to keep
     Arrow batches balanced (cost-bounding analog of st_subdivide,
-    SURVEY.md §4)."""
+    SURVEY.md §4).  `_lwords` shares one text.lower().split() with the
+    langid call in the pipeline's Arrow pass (round-6)."""
     if not text:
         return 0.0
-    words = text.lower().split()
+    words = _lwords if _lwords is not None else text.lower().split()
     if not words:
         return 0.0
-    ll = 0.0
-    n = 0
-    for w in words[:max_words]:
-        wll, wn = _word_ll(w)
-        ll += wll
-        n += wn
+    # column-wise sequential sums over the capped word list — sum()
+    # adds left-to-right, the identical float chain of the per-word
+    # accumulation loop (round-6 hot-path shape)
+    lls, ns = zip(*map(_word_ll, words[:max_words]))
+    n = sum(ns)
     if n == 0:
         return 0.0
-    return math.exp(-ll / n)
+    return math.exp(-sum(lls) / n)
 
 
 def char_perplexity_batch(texts) -> list[float]:
