@@ -37,12 +37,7 @@ from pyspark.sql import functions as F
 
 from wtq.operators import curation as C
 from wtq.operators.classifier import nb_score, train_nb_weights
-from wtq.operators.dedup import (
-    LSH_BUCKET_CAP,
-    dedup_resolution,
-    exact_representatives,
-    lsh_bucket_stats,
-)
+from wtq.operators.dedup import LSH_BUCKET_CAP, dedup_resolution
 from wtq.pipeline import run_pipeline
 
 # one url in BENCH_SLICE_MOD seeds the held-out benchmark slice when no
@@ -152,28 +147,31 @@ def build_training_set(
         )
         classifier_count["15_classifier_kept"] = kept.count()
 
-    # 2. near-dup removal: keep each cluster's min-id representative
+    # 2. near-dup removal: keep each cluster's min-id representative.
+    # When auditing, the resolution shares ONE materialized bucket
+    # table between pair generation and the occupancy stats (round-6:
+    # the audit previously re-ran exact_representatives + the whole
+    # signature UDF pass a second time — the build's largest redundant
+    # cost; the shared table is ids-only, so the checkpoint is cheap
+    # and the audited cap is by construction the cap the pair stage
+    # enforced).
+    stats = None
+    if lsh_audit:
+        labels, stats = dedup_resolution(
+            kept, "url", "text", bucket_cap=lsh_bucket_cap, with_bucket_stats=True
+        )
+    else:
+        labels = dedup_resolution(kept, "url", "text", bucket_cap=lsh_bucket_cap)
     non_reps = (
-        dedup_resolution(kept, "url", "text", bucket_cap=lsh_bucket_cap)
-        .filter(F.col("node") != F.col("cluster"))
+        labels.filter(F.col("node") != F.col("cluster"))
         .select(F.col("node").alias("url"))
     )
     deduped = kept.join(non_reps, "url", "left_anti").localCheckpoint(eager=True)
 
-    # 2b. occupancy audit over the SAME document set the LSH stage saw
-    # (exact-dedup representatives): over-cap buckets mean the pair
-    # stage degraded those buckets from all-pairs to star edges —
-    # production wants that visible next to the stage counts, not
-    # buried in executor logs.  One extra narrow pass; no new shuffle
-    # shape (the stats aggregation is ids-only).
+    # 2b. occupancy audit gauges (see above: measured over the exact-
+    # dedup representative set the pair stage consumed)
     audit: dict[str, int] = {}
     if lsh_audit:
-        stats = lsh_bucket_stats(
-            exact_representatives(kept, "url", "text"),
-            "url",
-            "text",
-            bucket_cap=lsh_bucket_cap,
-        )
         row = stats.agg(
             F.coalesce(
                 F.sum(F.when(F.col("over_cap"), F.col("n_buckets"))), F.lit(0)

@@ -392,48 +392,63 @@ def strip_boilerplate_lines(
     # line_sep is a LITERAL separator: F.split takes a Java regex, so
     # quote it (\Q…\E) — an unescaped '.' or '|' would split on every
     # character and shred the text
-    lines = df.select(
-        F.col(id_col).alias("doc"),
-        *[F.col(c) for c in carry_cols],
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + line_sep + "\\E")
-        ).alias("pos", "line"),
-    ).withColumn("k", F.md5("line"))
+    split_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + line_sep + "\\E")
+    # Round-6 shape (the guide-§8 discipline — decide on digests, never
+    # move the text): line TEXT never enters any shuffle.  The round-4
+    # form exploded every line, broadcast-joined the hot set, then
+    # re-shuffled ALL line text by doc for a collect_list/array_sort
+    # rebuild — the rebuild now happens as a narrow higher-order
+    # filter over the original text column, so the only shuffles left
+    # are (doc, 16-byte digest) aggregations:
+    #   1. per-digest doc-frequency → hot digest set (as before);
+    #   2. per-doc array of hot digests PRESENT in that doc — rows
+    #      only for affected docs, digest-sized, usually broadcast by
+    #      AQE into the rebuild join (at boilerplate-saturated corpus
+    #      scale it degrades to an equi-join on the id, still strictly
+    #      smaller than the old exploded-line shuffle);
+    #   3. rebuild = base ⟕ hot-digest-lists, then
+    #      filter(split(text), line empty ∨ md5(line) ∉ doc's hot set)
+    #      — order-preserving, so clean_text/n_removed are value-
+    #      identical to the explode/regroup form (oracle + planted
+    #      tests unchanged).
+    # per-doc DISTINCT digests built narrowly (array_distinct before
+    # the explode) — the doc-frequency count then needs no (doc, k)
+    # distinct() exchange: one map-side-partial aggregation on k is the
+    # only shuffle (empties are structure, never boilerplate)
+    per_doc_ks = F.array_distinct(
+        F.transform(
+            F.filter(split_expr, lambda l: l != ""), lambda l: F.md5(l)
+        )
+    )
+    digests = df.select(
+        F.col(id_col).alias("doc"), F.explode(per_doc_ks).alias("k")
+    )
     hot = (
-        lines.filter(F.col("line") != "")  # empties are structure, never boilerplate
-        .select("doc", "k")
-        .distinct()
-        .groupBy("k")
+        digests.groupBy("k")
         .agg(F.count("*").alias("doc_df"))
         .filter(F.col("doc_df") > df_cap)
         .select("k")
-        .withColumn("__hot", F.lit(True))
     )
-    # ONE marked join + ONE aggregation (round 4; the previous form ran
-    # an anti join plus TWO per-doc aggregates plus TWO outer re-joins
-    # against the input — three extra shuffles for the same answer):
-    # hot lines ride along as a flag, collect_list skips the NULLed-out
-    # hot entries, and the removed count falls out of the same agg.
-    # Every doc keeps exactly its rows (split of a coalesced text always
-    # yields ≥ 1 element), so no anchor join is needed for conservation.
-    marked = lines.join(hot, "k", "left")
-    return (
-        marked.groupBy("doc", *carry_cols)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("__hot").isNull(), F.struct("pos", "line"))
-                        )
-                    ),
-                    lambda x: x["line"],
-                ),
-                line_sep,
-            ).alias("clean_text"),
-            F.count(F.when(F.col("__hot"), 1)).cast("int").alias("n_removed"),
-        )
-        .select(F.col("doc").alias(id_col), "clean_text", "n_removed", *carry_cols)
+    doc_hot = (
+        digests.join(hot, "k")
+        .groupBy("doc")
+        .agg(F.collect_set("k").alias("__hot_ks"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col), *[F.col(c) for c in carry_cols]
+    )
+    joined = base.join(doc_hot, "doc", "left").withColumn(
+        "__hot_ks", F.coalesce(F.col("__hot_ks"), F.array())
+    )
+    parts = split_expr
+    kept = F.filter(
+        parts, lambda l: (l == "") | ~F.array_contains(F.col("__hot_ks"), F.md5(l))
+    )
+    return joined.select(
+        F.col("doc").alias(id_col),
+        F.array_join(kept, line_sep).alias("clean_text"),
+        (F.size(parts) - F.size(kept)).cast("int").alias("n_removed"),
+        *carry_cols,
     )
 
 

@@ -253,10 +253,20 @@ def minhash_lsh_pairs(
     # the exact-dedup-first net upstream (byte-identical floods never
     # reach here) before raising executor memory.
     #
-    # One conditional explode handles both regimes without touching
-    # the upstream subtree twice: the LEFT side of the pair is every
-    # member for within-cap buckets but only the bucket minimum for
-    # over-cap buckets — [min] × members = the star.
+    return _pairs_from_buckets(buckets, bucket_cap)
+
+
+def _pairs_from_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """Pair generation over a (doc, bucket) table — the back half of
+    minhash_lsh_pairs, factored out (round-6) so a caller that also
+    audits occupancy (wtq/build.py) can feed BOTH consumers from one
+    materialized bucket table instead of running the signature UDF
+    twice.
+
+    One conditional explode handles both regimes without touching
+    the upstream subtree twice: the LEFT side of the pair is every
+    member for within-cap buckets but only the bucket minimum for
+    over-cap buckets — [min] × members = the star."""
     grouped = (
         buckets.groupBy("bucket")
         .agg(F.collect_list("doc").alias("docs"))
@@ -305,9 +315,17 @@ def lsh_bucket_stats(
     Pass the SAME bucket_cap given to minhash_lsh_pairs /
     simhash_near_pairs, or the over_cap flag audits a different cap
     than the one that dropped buckets."""
+    return _bucket_stats_from_buckets(
+        _minhash_buckets(df, id_col, text_col), bucket_cap
+    )
+
+
+def _bucket_stats_from_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """Occupancy histogram over a (doc, bucket) table — shared by the
+    standalone audit above and the single-signature-pass resolution
+    path (round-6)."""
     return (
-        _minhash_buckets(df, id_col, text_col)
-        .groupBy("bucket")
+        buckets.groupBy("bucket")
         .agg(F.count("*").alias("bucket_size"))
         .groupBy("bucket_size")
         .agg(F.count("*").alias("n_buckets"))
@@ -587,7 +605,8 @@ def dedup_resolution(
     id_col: str,
     text_col: str,
     bucket_cap: int = LSH_BUCKET_CAP,
-) -> DataFrame:
+    with_bucket_stats: bool = False,
+):
     """Per-document cluster assignment (node, cluster) with
     EXACT-DEDUP-FIRST discipline: byte-identical documents are
     collapsed to one representative per md5 fingerprint BEFORE the LSH
@@ -607,7 +626,13 @@ def dedup_resolution(
     too short to shingle (< k words, sentinel signature) now cluster
     via their fingerprint — they ARE duplicates, and the pure-LSH form
     silently missed them.  Output covers exactly the docs in a cluster
-    of ≥ 2 (pair-connected or fingerprint-connected)."""
+    of ≥ 2 (pair-connected or fingerprint-connected).
+
+    ``with_bucket_stats=True`` returns ``(labels, stats)`` where
+    ``stats`` is the lsh_bucket_stats occupancy histogram over the
+    SAME representative bucket table the pair stage consumed — the
+    build's audit then costs one materialized ids-only bucket table
+    instead of a second full signature pass (round-6)."""
     docs = df.select(
         F.col(id_col).alias("node"),
         F.col(text_col).alias("__text"),
@@ -643,9 +668,17 @@ def dedup_resolution(
         .filter(F.col("rep").isNull() | (F.col("node") == F.col("rep")))
         .select(F.col("node").alias(id_col), F.col("__text").alias(text_col))
     )
-    cc = connected_components(
-        minhash_lsh_pairs(reps, id_col, text_col, bucket_cap=bucket_cap)
-    ).select(
+    stats = None
+    if with_bucket_stats:
+        # ONE signature pass feeds pairing AND the occupancy audit:
+        # the (doc, bucket) table is ids-only (~8 short rows per rep),
+        # so the checkpoint is cheap and both consumers read it
+        buckets = _minhash_buckets(reps, id_col, text_col).localCheckpoint(eager=True)
+        pairs = _pairs_from_buckets(buckets, bucket_cap)
+        stats = _bucket_stats_from_buckets(buckets, bucket_cap)
+    else:
+        pairs = minhash_lsh_pairs(reps, id_col, text_col, bucket_cap=bucket_cap)
+    cc = connected_components(pairs).select(
         F.col("node").alias("rep"), F.col("cluster").alias("cc_cluster")
     )
     # Re-expansion joins against ONLY the multi-member fingerprint
@@ -660,11 +693,14 @@ def dedup_resolution(
             F.coalesce("n_fp", F.lit(1)).alias("n_fp"),
         )
     )
-    return (
+    labels = (
         membership.join(cc, "rep", "left")
         .filter(F.col("cc_cluster").isNotNull() | (F.col("n_fp") >= 2))
         .select("node", F.coalesce("cc_cluster", "rep").alias("cluster"))
     )
+    if with_bucket_stats:
+        return labels, stats
+    return labels
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -42,11 +42,26 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector (self excluded).
     The small query side is broadcast — no shuffle of the big side."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    e = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # norms precomputed per side (round-6): cos = dot/(q_norm·n_norm)
+    # is the same expressions over the same doubles as the inline
+    # cosine — bit-identical — but each row's norm folds once instead
+    # of once per candidate pair
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    e = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    )
     scored = (
         e.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -69,16 +84,24 @@ def lsh_top1(
 ) -> DataFrame:
     """Nearest same-bucket neighbor per query — the J9 lateral-KNN
     pattern: bucket equi-join for candidates, then window top-1."""
+    # per-side norm precompute: see brute_force_topk (round-6)
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), srp_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col)).alias("bucket"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     e = emb.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), srp_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        srp_bucket(F.col(vec_col)).alias("bucket"),
+        _norm(F.col(vec_col)).alias("n_norm"),
     )
     scored = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -195,14 +218,22 @@ def sql_with_planted_dups(table: str) -> str:
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-bucketed candidate
     join (never a cross join), exact cosine filter, canonical id1<id2."""
+    # per-side norm precompute: see brute_force_topk (round-6)
     e = emb.select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"), srp_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"),
+        srp_bucket(F.col(vec_col)).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
-    o = e.select(F.col("doc").alias("doc2"), F.col("v").alias("v2"), "bucket")
+    o = e.select(
+        F.col("doc").alias("doc2"), F.col("v").alias("v2"), "bucket",
+        F.col("nrm").alias("nrm2"),
+    )
     return (
         e.join(o, "bucket")
         .filter(F.col("doc") < F.col("doc2"))
-        .withColumn("cos", cosine(F.col("v"), F.col("v2")))
+        .withColumn(
+            "cos", _dot(F.col("v"), F.col("v2")) / (F.col("nrm") * F.col("nrm2"))
+        )
         .filter(F.col("cos") >= COSINE_DUP_MIN)
         .select(F.col("doc").alias("doc1"), "doc2", F.round("cos", 5).alias("cos"))
     )
@@ -230,14 +261,22 @@ IVF_SCALE = 1 << 20
 
 def _cell_scores(vec: Column) -> Column:
     """Per-centroid scores for one vector against the packed centroid
-    array column `__cents` (array<struct<c_idx, c_vec>>):
+    array column `__cents` (array<struct<c_idx, c_vec, c_norm>>):
     array<struct<c_cos, ni>> with ni = -c_idx, so struct-max /
     descending struct-sort realize the assignment tie-break
-    (highest cosine, then LOWEST centroid index) as pure expressions."""
+    (highest cosine, then LOWEST centroid index) as pure expressions.
+
+    Round-6 hot-path shape: the row's own norm (`__vnorm`, added by
+    the callers) and each centroid's norm (`c_norm`, packed once at
+    centroid build) replace the per-(row×centroid) norm folds — the
+    same sqrt-of-sequential-fold expressions over the same doubles, so
+    cosine = dot / (__vnorm · c_norm) is bit-identical to the inline
+    form while doing k× less interpreted higher-order work."""
     return F.transform(
         F.col("__cents"),
         lambda c: F.struct(
-            cosine(vec, c["c_vec"]).alias("c_cos"), (-c["c_idx"]).alias("ni")
+            (_dot(vec, c["c_vec"]) / (F.col("__vnorm") * c["c_norm"])).alias("c_cos"),
+            (-c["c_idx"]).alias("ni"),
         ),
     )
 
@@ -245,9 +284,12 @@ def _cell_scores(vec: Column) -> Column:
 def _with_cents(df: DataFrame, cents: DataFrame) -> DataFrame:
     """Attach the whole centroid set to every row as ONE packed
     array column via a single-row broadcast (BroadcastNestedLoopJoin
-    of one row — no corpus×k row explosion, no shuffle)."""
+    of one row — no corpus×k row explosion, no shuffle).  Each packed
+    entry carries its precomputed norm (see _cell_scores)."""
     packed = cents.agg(
-        F.array_sort(F.collect_list(F.struct("c_idx", "c_vec"))).alias("__cents")
+        F.array_sort(
+            F.collect_list(F.struct("c_idx", "c_vec", _norm(F.col("c_vec")).alias("c_norm")))
+        ).alias("__cents")
     )
     return df.join(F.broadcast(packed))
 
@@ -258,8 +300,10 @@ def _assign_nearest(df: DataFrame, cents: DataFrame, vec_name: str) -> DataFrame
     (c_idx, c_cos) per row with ZERO exchanges.  The round-3
     Window.partitionBy(id) form shuffled corpus×k rows per call
     (round-3 verdict, "What's wrong" #3)."""
-    scored = _with_cents(df, cents).withColumn(
-        "__best", F.array_max(_cell_scores(F.col(vec_name)))
+    scored = (
+        _with_cents(df, cents)
+        .withColumn("__vnorm", _norm(F.col(vec_name)))
+        .withColumn("__best", F.array_max(_cell_scores(F.col(vec_name))))
     )
     return scored.select(
         *df.columns,
@@ -272,11 +316,15 @@ def _assign_probes(df: DataFrame, cents: DataFrame, vec_name: str, n_probe: int)
     """Multi-probe assignment: one row per (input row, probed cell),
     cells ordered by descending cosine with ties to the lowest index —
     reverse(array_sort) + slice + explode, still narrow."""
-    scored = _with_cents(df, cents).withColumn(
-        "__probe",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(_cell_scores(F.col(vec_name)))), 1, n_probe)
-        ),
+    scored = (
+        _with_cents(df, cents)
+        .withColumn("__vnorm", _norm(F.col(vec_name)))
+        .withColumn(
+            "__probe",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(_cell_scores(F.col(vec_name)))), 1, n_probe)
+            ),
+        )
     )
     return scored.select(
         *df.columns,
@@ -329,6 +377,11 @@ def kmeans_centroids(
     base = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec"))
     for _ in range(iters):
         assigned = _assign_nearest(base, cents, "n_vec").select("c_idx", "n_vec")
+        # (round-6 note: a 64-column fixed-point sum per cell — one
+        # shuffle, no explode — was tried and measured SLOWER: 65
+        # aggregate expressions push the HashAggregate past codegen
+        # limits into interpreted evaluation.  The posexplode form's
+        # k·dim-group partial aggregation stays.)
         dims = assigned.select("c_idx", F.posexplode("n_vec").alias("pos", "val"))
         agg = dims.groupBy("c_idx", "pos").agg(
             F.sum(F.floor(F.col("val") * IVF_SCALE)).alias("s"),
@@ -373,21 +426,30 @@ def ivf_topk(
     # same way.  The centroid set is IVF_CELLS rows, so the checkpoint
     # is trivially small.
     cents = kmeans_centroids(emb, id_col, vec_col).localCheckpoint(eager=True)
+    # per-side norm precompute for the candidate scoring join: see
+    # brute_force_topk (round-6)
     cells = _assign_nearest(
         emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")),
         cents,
         "n_vec",
-    ).select("n_id", "n_vec", F.col("c_idx").alias("cell"))
+    ).select(
+        "n_id", "n_vec", F.col("c_idx").alias("cell"), _norm(F.col("n_vec")).alias("n_norm")
+    )
     q = _assign_probes(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")),
         cents,
         "q_vec",
         nprobe,
-    ).select("q_id", "q_vec", F.col("c_idx").alias("cell"))
+    ).select(
+        "q_id", "q_vec", F.col("c_idx").alias("cell"), _norm(F.col("q_vec")).alias("q_norm")
+    )
     scored = (
         cells.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")),
+        )
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (

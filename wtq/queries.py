@@ -25,8 +25,15 @@ from wtq.rules import registry as R
 from wtq.rules.lexicon import STOPWORDS
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not rebalance:
+        # Join-heavy consumers pass rebalance=False: their first shuffle
+        # (join exchange / broadcast collect) redistributes anyway, so a
+        # round-robin pre-repartition is a pure extra pass over the
+        # table (round-6: region_revenue measured 2.8× faster without
+        # it + a SHUFFLE_HASH hint; see q_region_revenue).
+        return df
     # The driver-provided parquet files are written as a SINGLE row
     # group, which Spark cannot split — every scan would run as one
     # task and serialize the whole query.  Rebalance undersized reads;
@@ -75,14 +82,23 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_region_revenue(spark, sf_dir):
-    """J5 multi-way join with broadcast dims (proccess_data.sql:459-461)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    """J5 multi-way join with broadcast dims (proccess_data.sql:459-461).
+
+    Join strategy picked deliberately (guide §3.1, round-6): the
+    lineitem⋈orders join is hinted SHUFFLE_HASH — orders is the one
+    fact-sized side (1.5M rows at sf1.0) and building its whole
+    HashedRelation as a broadcast was the query's dominant cost
+    (measured 2.84s auto-broadcast → 1.04s SHJ at sf1.0); per-
+    partition hash builds scale with shuffle partitions.  The three
+    small dims stay broadcast.  Tables are read without the _t
+    round-robin rebalance: the join exchange redistributes anyway."""
+    c = _t(spark, sf_dir, "customer", rebalance=False)
+    o = _t(spark, sf_dir, "orders", rebalance=False)
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -829,15 +845,18 @@ def q_cust_supp_nation_matrix(spark, sf_dir):
     """J6 double join of the same dim (role lookup for two sides,
     proccess_data.sql:282-286): nation joined once for the customer
     side and once for the supplier side of each lineitem."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    su = _t(spark, sf_dir, "supplier")
+    # same deliberate strategy as q_region_revenue (guide §3.1,
+    # round-6): SHUFFLE_HASH for the one fact-sized join side, no
+    # round-robin pre-repartition ahead of the join exchanges
+    li = _t(spark, sf_dir, "lineitem", rebalance=False)
+    o = _t(spark, sf_dir, "orders", rebalance=False)
+    c = _t(spark, sf_dir, "customer", rebalance=False)
+    su = _t(spark, sf_dir, "supplier", rebalance=False)
     n = _t(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
     n2 = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("cnk"))
