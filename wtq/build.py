@@ -158,10 +158,13 @@ def build_training_set(
     stats = None
     if lsh_audit:
         labels, stats = dedup_resolution(
-            kept, "url", "text", bucket_cap=lsh_bucket_cap, with_bucket_stats=True
+            kept, "url", "text", bucket_cap=lsh_bucket_cap,
+            with_bucket_stats=True, rebalance=False,
         )
     else:
-        labels = dedup_resolution(kept, "url", "text", bucket_cap=lsh_bucket_cap)
+        labels = dedup_resolution(
+            kept, "url", "text", bucket_cap=lsh_bucket_cap, rebalance=False
+        )
     non_reps = (
         labels.filter(F.col("node") != F.col("cluster"))
         .select(F.col("node").alias("url"))

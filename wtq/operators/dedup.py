@@ -143,7 +143,11 @@ def _sig_udf(texts: pd.Series) -> pd.Series:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_partitions: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_partitions: int | None = None,
+    rebalance: bool = True,
 ) -> DataFrame:
     """(id, sig array<long>[N_PERM]): per-permutation min over shingle
     hashes of (a·h+b) mod P.
@@ -162,9 +166,19 @@ def minhash_signatures(
     # single giant input split would serialize it.  Exactly one split
     # per core — over-splitting (4× was measured) doubles wall time at
     # this batch size from per-task Arrow/scheduling overhead.
-    base = df.select(F.col(id_col), F.col(text_col)).repartition(
-        num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    )
+    # Round-6: callers whose input is ALREADY split at least core-wide
+    # (the registry rebalance, the build's checkpointed kept set) pass
+    # rebalance=False and skip the exchange — it only re-moved every
+    # text.  The skip is a caller-declared flag, NOT runtime
+    # introspection: df.rdd.getNumPartitions() on an AQE plan that
+    # contains an exchange EXECUTES that exchange stage to finalize
+    # the plan, paying the shuffle twice (measured as a regression
+    # before this flag).
+    base = df.select(F.col(id_col), F.col(text_col))
+    if rebalance:
+        base = base.repartition(
+            num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        )
     return base.select(F.col(id_col), _sig_udf(F.col(text_col)).alias("sig"))
 
 
@@ -207,7 +221,11 @@ LSH_BUCKET_CAP = 1000
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, bucket_cap: int = LSH_BUCKET_CAP
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    rebalance: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banding: docs sharing ALL row
     minvalues in ≥1 band.  Returns (doc1, doc2, n_shared_bands) with
@@ -225,7 +243,7 @@ def minhash_lsh_pairs(
     # scan (measured: the whole signature pass re-ran serially).
     # Shingle-less docs are dropped at the bucket level instead, where
     # the Generate node blocks pushdown.
-    buckets = _minhash_buckets(df, id_col, text_col)
+    buckets = _minhash_buckets(df, id_col, text_col, rebalance=rebalance)
     # Within-bucket pairs via ONE aggregation + double explode instead
     # of a bucket self-join: a self-join duplicates the whole upstream
     # subtree, so the signature UDF would run TWICE (measured 2× the
@@ -289,7 +307,9 @@ def _pairs_from_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     return pairs
 
 
-def _minhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _minhash_buckets(
+    df: DataFrame, id_col: str, text_col: str, rebalance: bool = True
+) -> DataFrame:
     """(doc, bucket) band-bucket rows — the shared derivation behind
     pair generation AND the occupancy audit (one definition, so the
     audit always reports on exactly the buckets pairing builds).
@@ -299,7 +319,7 @@ def _minhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dropping those buckets removes them from pairing entirely (the
     explode-form oracle simply emits no rows for such docs).  Still
     narrow: the ONLY shuffle in the operator is downstream of this."""
-    sig = minhash_signatures(df, id_col, text_col)
+    sig = minhash_signatures(df, id_col, text_col, rebalance=rebalance)
     sentinel_bucket = ":" + ",".join([str(MINHASH_P)] * LSH_ROWS)
     return sig.select(
         F.col(id_col).alias("doc"), F.explode(_band_strs()).alias("bucket")
@@ -606,6 +626,7 @@ def dedup_resolution(
     text_col: str,
     bucket_cap: int = LSH_BUCKET_CAP,
     with_bucket_stats: bool = False,
+    rebalance: bool = True,
 ):
     """Per-document cluster assignment (node, cluster) with
     EXACT-DEDUP-FIRST discipline: byte-identical documents are
@@ -673,11 +694,15 @@ def dedup_resolution(
         # ONE signature pass feeds pairing AND the occupancy audit:
         # the (doc, bucket) table is ids-only (~8 short rows per rep),
         # so the checkpoint is cheap and both consumers read it
-        buckets = _minhash_buckets(reps, id_col, text_col).localCheckpoint(eager=True)
+        buckets = _minhash_buckets(
+            reps, id_col, text_col, rebalance=rebalance
+        ).localCheckpoint(eager=True)
         pairs = _pairs_from_buckets(buckets, bucket_cap)
         stats = _bucket_stats_from_buckets(buckets, bucket_cap)
     else:
-        pairs = minhash_lsh_pairs(reps, id_col, text_col, bucket_cap=bucket_cap)
+        pairs = minhash_lsh_pairs(
+            reps, id_col, text_col, bucket_cap=bucket_cap, rebalance=rebalance
+        )
     cc = connected_components(pairs).select(
         F.col("node").alias("rep"), F.col("cluster").alias("cc_cluster")
     )
@@ -703,12 +728,14 @@ def dedup_resolution(
     return labels
 
 
-def dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def dedup_clusters(
+    df: DataFrame, id_col: str, text_col: str, rebalance: bool = True
+) -> DataFrame:
     """Near-dup clusters over MinHash-LSH pairs: one row per cluster
     with its representative (min id), member count, and sorted member
     list — the keep-one-representative contract of a dedup pass.
     Exact-dedup-first via dedup_resolution (see its docstring)."""
-    cc = dedup_resolution(df, id_col, text_col)
+    cc = dedup_resolution(df, id_col, text_col, rebalance=rebalance)
     return (
         cc.groupBy("cluster")
         .agg(
@@ -797,7 +824,9 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(_simhash_batch(texts))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, rebalance: bool = True
+) -> DataFrame:
     """60-bit multiplicity-weighted shingle SimHash per document.
 
     One Arrow-batched numpy pass — a narrow map, no shuffle at all.
@@ -806,9 +835,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rows and was retired from the execution path in round 2; it
     survives verbatim as the DuckDB oracle (sql_simhash), which checks
     this implementation bit-for-bit."""
-    base = df.select(F.col(id_col), F.col(text_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    # same caller-declared rebalance flag as minhash_signatures (round-6)
+    base = df.select(F.col(id_col), F.col(text_col))
+    if rebalance:
+        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return base.select(F.col(id_col), _simhash_udf(F.col(text_col)).alias("simhash"))
 
 
@@ -991,7 +1021,11 @@ assert HAMMING_MAX < SIMHASH_BANDS
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, bucket_cap: int = LSH_BUCKET_CAP
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    rebalance: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash banding: candidates share one
     SIMHASH_BAND_BITS-bit chunk (6 bands × 10 bits — equi-join, never
@@ -1017,7 +1051,7 @@ def simhash_near_pairs(
     whose ONLY links route through a far-from-min member, cluster
     recall degrades too.  The oracle applies the identical cap and
     star rule."""
-    sig = simhash(df, id_col, text_col).select(
+    sig = simhash(df, id_col, text_col, rebalance=rebalance).select(
         F.col(id_col).alias("doc"), F.col("simhash")
     )
     # NULL signature = "no shingles" (out-of-band: a computable 0 is a

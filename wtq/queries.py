@@ -47,6 +47,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True) -> D
     return df
 
 
+def _t_keyed(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """Read + repartition by the downstream window/aggregation key
+    (round-6, guide §2.4): the single-row-group driver files still need
+    one exchange for scan parallelism, but a KEY exchange doubles as
+    the ClusteredDistribution the downstream window/groupBy requires —
+    one exchange total, where the round-robin rebalance paid its own
+    exchange (plus the mandatory sort-before-repartition) and then the
+    operator's hash exchange on top (measured on latest_event_per_user
+    at sf1.0: 1.80s round-robin → 0.64s keyed).  Pinning the partition
+    count also keeps AQE from coalescing the small exchange into too
+    few partitions for the compute-heavy operator above it."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p, *[F.col(k) for k in keys])
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
 
@@ -155,7 +171,7 @@ GROUP BY ROLLUP (r_name, n_name)
 
 def q_top_customer_per_nation(spark, sf_dir):
     """W1 DISTINCT ON / best-row-per-group (proccess_data.sql:372-381)."""
-    c = _t(spark, sf_dir, "customer")
+    c = _t_keyed(spark, sf_dir, "customer", "c_nationkey")
     n = _t(spark, sf_dir, "nation")
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
@@ -252,7 +268,7 @@ def q_orders_array_membership(spark, sf_dir):
     """J1 array-membership join: build per-customer order arrays, join
     via array_contains (reference `= any(list)` proccess_data.sql:69-71),
     realized scale-safely as explode + equi-join."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t_keyed(spark, sf_dir, "orders", "o_custkey")
     arrs = o.groupBy("o_custkey").agg(F.collect_list("o_orderkey").alias("order_keys"))
     # non-equi array_contains join against a probe set of orders
     probe = o.filter(F.col("o_orderkey") % 1000 == 0).select(F.col("o_orderkey").alias("probe_key"))
@@ -275,7 +291,7 @@ GROUP BY o_custkey
 
 def q_event_pivot(spark, sf_dir):
     """A5 conditional-count pivot (proccess_data.sql:184-189)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t_keyed(spark, sf_dir, "events", "user_id")
     types = ["click", "error", "purchase", "signup", "view"]
     return e.groupBy("user_id").agg(
         *[F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types],
@@ -298,7 +314,7 @@ FROM events GROUP BY user_id
 def q_latest_event_per_user(spark, sf_dir):
     """W1/W2 window top-1 with deterministic tie-break; timestamps as
     epoch seconds for engine-neutral hashing."""
-    e = _t(spark, sf_dir, "events")
+    e = _t_keyed(spark, sf_dir, "events", "user_id")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -348,7 +364,7 @@ FROM events GROUP BY event_type
 def q_sessionize_events(spark, sf_dir):
     """Window lag + running session assignment (gap > 30 min ⇒ new
     session) — ranking/lag capability (SURVEY.md §2.5 'absent' row)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t_keyed(spark, sf_dir, "events", "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
     sess = F.sum(F.when(gap.isNull() | (gap > 1800_000), 1).otherwise(0)).over(
@@ -800,7 +816,9 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", rebalance=False
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -808,7 +826,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+    return D.simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", rebalance=False
+    ).select(
         F.col("doc_id").alias("doc"), "simhash"
     )
 
@@ -885,7 +905,7 @@ def q_asof_view_before_purchase(spark, sf_dir):
     running last_value, one shuffle (wtq/operators/asof.py)."""
     from wtq.operators.asof import asof_join_backward
 
-    e = _t(spark, sf_dir, "events")
+    e = _t_keyed(spark, sf_dir, "events", "user_id")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     views = (
         e.filter(F.col("event_type") == "view")
@@ -1051,7 +1071,9 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_simhash_near_pairs(spark, sf_dir):
     """Banded Hamming join over SimHash signatures: candidates share a
     15-bit chunk (equi-join), exact distance via bit_count(xor)."""
-    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", rebalance=False
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1059,7 +1081,9 @@ def q_dedup_clusters(spark, sf_dir):
     duplicates): connected components over the MinHash-LSH pair graph
     via iterative min-label propagation; oracle is a recursive-CTE
     transitive closure — an independent derivation."""
-    return D.dedup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.dedup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", rebalance=False
+    )
 
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
@@ -1097,7 +1121,7 @@ def q_dedup_apply(spark, sf_dir):
     representative member set — the keep-one contract a training-data
     pipeline actually executes."""
     d = _t(spark, sf_dir, "documents")
-    cc = D.dedup_resolution(d, "doc_id", "text")
+    cc = D.dedup_resolution(d, "doc_id", "text", rebalance=False)
     drop = cc.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias("doc_id")
     )

@@ -104,8 +104,8 @@ def py_lines(text: str) -> list[str]:
     return [l for l in (text or "").split("\n") if l != ""]
 
 
-def py_rep_line_frac(text: str) -> float:
-    lines = py_lines(text)
+def py_rep_line_frac(text: str, _lines: "list[str] | None" = None) -> float:
+    lines = _lines if _lines is not None else py_lines(text)
     if not lines:
         return 0.0
     total = sum(len(l) for l in lines)
@@ -282,6 +282,16 @@ def py_stats(text: str, _ltext: "str | None" = None) -> dict[str, float]:
     else:
         total_chars = n_stop = top_word = 0
         rep = _py_repetition_stats(words)
+    # one fused pass over the (short) line list for the three per-line
+    # counters (round-6; counts identical to the three genexprs)
+    n_bullet = n_ellipsis = n_brace = 0
+    for l in lines:
+        if l.startswith(("- ", "* ", "•")):
+            n_bullet += 1
+        if l.endswith("..."):
+            n_ellipsis += 1
+        if "{" in l or "}" in l:
+            n_brace += 1
     return {
         "n_words": n_words,
         "n_lines": n_lines,
@@ -290,11 +300,11 @@ def py_stats(text: str, _ltext: "str | None" = None) -> dict[str, float]:
         # single-char needles
         "symbol_ratio": sum(text.count(c) for c in R.SYMBOLS) / nw,
         "stopword_frac": n_stop / nw,
-        "bullet_frac": sum(1 for l in lines if l.startswith(("- ", "* ", "•"))) / nl,
-        "ellipsis_frac": sum(1 for l in lines if l.endswith("...")) / nl,
-        "rep_line_frac": py_rep_line_frac(text),
+        "bullet_frac": n_bullet / nl,
+        "ellipsis_frac": n_ellipsis / nl,
+        "rep_line_frac": py_rep_line_frac(text, _lines=lines),
         "top_word_frac": (top_word / n_words) if words else 0.0,
-        "brace_line_frac": sum(1 for l in lines if "{" in l or "}" in l) / nl,
+        "brace_line_frac": n_brace / nl,
         "has_lorem": 1.0
         if "lorem ipsum" in (_ltext if _ltext is not None else text.lower())
         else 0.0,
