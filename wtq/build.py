@@ -105,7 +105,24 @@ def build_training_set(
     # 1. quality filter with both curation passes (+ optional url
     # canonicalization ahead of the re-crawl window — when on, every
     # downstream url-keyed stage, the split included, keys on the
-    # canonical form)
+    # canonical form).  Round-6: default the pipeline's partition
+    # count to the configured parallelism — the Arrow score stage is
+    # CPU-bound, not byte-bound, so AQE's byte-targeted coalescing of
+    # the url exchange under-parallelizes it (measured ~8% on the
+    # curated chain at sf1.0); build outputs are partitioning-
+    # independent (content-hash membership), so this changes no rows.
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    # the 00_input lineage count (distinct urls of the raw input) is
+    # independent of every stage — run it from a driver thread so its
+    # scan back-fills executors behind the pipeline's stragglers
+    # (guide §2.6) instead of serializing at the end
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _fut_input = _pool.submit(
+        lambda: spark.read.parquet(pages_path).select("url").distinct().count()
+    )
     decided = run_pipeline(
         spark,
         pages_path,
@@ -224,7 +241,7 @@ def build_training_set(
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
     counts = {
-        "00_input": spark.read.parquet(pages_path).select("url").distinct().count(),
+        "00_input": _fut_input.result(),
         "10_quality_kept": quality_kept.count(),
         "20_after_dedup": deduped.count(),
         "30_after_decontam": clean.count(),
@@ -234,6 +251,7 @@ def build_training_set(
     counts["50_written"] = written.count()
     counts.update(classifier_count)
     counts.update(audit)
+    _pool.shutdown()
     lineage = spark.createDataFrame(
         sorted(counts.items()), "stage string, n_docs long"
     )
