@@ -119,7 +119,7 @@ def build_training_set(
     # (guide §2.6) instead of serializing at the end
     from concurrent.futures import ThreadPoolExecutor
 
-    _pool = ThreadPoolExecutor(max_workers=1)
+    _pool = ThreadPoolExecutor(max_workers=4)
     _fut_input = _pool.submit(
         lambda: spark.read.parquet(pages_path).select("url").distinct().count()
     )
@@ -189,19 +189,21 @@ def build_training_set(
     deduped = kept.join(non_reps, "url", "left_anti").localCheckpoint(eager=True)
 
     # 2b. occupancy audit gauges (see above: measured over the exact-
-    # dedup representative set the pair stage consumed)
-    audit: dict[str, int] = {}
+    # dedup representative set the pair stage consumed).  The bucket
+    # table is already materialized at this point, so the histogram
+    # aggregation is independent of everything downstream — submit it
+    # from a driver thread (guide §2.6) and collect the row when the
+    # lineage is assembled.
+    _fut_audit = None
     if lsh_audit:
-        row = stats.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("over_cap"), F.col("n_buckets"))), F.lit(0)
-            ).alias("n_over"),
-            F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_size"),
-        ).collect()[0]
-        audit = {
-            "60_lsh_over_cap_buckets": row.n_over,
-            "61_lsh_max_bucket_size": row.max_size,
-        }
+        _fut_audit = _pool.submit(
+            lambda: stats.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("over_cap"), F.col("n_buckets"))), F.lit(0)
+                ).alias("n_over"),
+                F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_size"),
+            ).collect()[0]
+        )
 
     # 3. decontamination
     if benchmark is None:
@@ -240,16 +242,27 @@ def build_training_set(
     final = final.withColumn("split", split)
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
-    counts = {
-        "00_input": _fut_input.result(),
-        "10_quality_kept": quality_kept.count(),
-        "20_after_dedup": deduped.count(),
-        "30_after_decontam": clean.count(),
-        "40_after_budget": final.count(),
+    # every stage frame is checkpointed/written at this point, so the
+    # five lineage counts are independent tiny jobs — run them
+    # concurrently (guide §2.6: back-fill, don't serialize)
+    stage_frames = {
+        "10_quality_kept": quality_kept,
+        "20_after_dedup": deduped,
+        "30_after_decontam": clean,
+        "40_after_budget": final,
+        "50_written": spark.read.parquet(out_dir),
     }
-    written = spark.read.parquet(out_dir)
-    counts["50_written"] = written.count()
+    count_futs = {k: _pool.submit(df.count) for k, df in stage_frames.items()}
+    counts = {"00_input": _fut_input.result()}
+    counts.update({k: f.result() for k, f in count_futs.items()})
     counts.update(classifier_count)
+    audit: dict[str, int] = {}
+    if _fut_audit is not None:
+        row = _fut_audit.result()
+        audit = {
+            "60_lsh_over_cap_buckets": row.n_over,
+            "61_lsh_max_bucket_size": row.max_size,
+        }
     counts.update(audit)
     _pool.shutdown()
     lineage = spark.createDataFrame(
