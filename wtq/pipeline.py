@@ -91,9 +91,17 @@ def score_udf(texts: pd.Series) -> pd.DataFrame:
         lang, margin = predict_lang(sr.text, _lwords=lw)
         ppl = char_perplexity(sr.text, _lwords=lw)
         st = H.py_stats(sr.text, _ltext=tl)
+        # don't ship unchanged text back across the Arrow boundary
+        # (round-6, guide §4.1 — control what crosses): with zero
+        # scrub edits the scrubbed string IS the input (subn with 0
+        # substitutions returns the original), so return NULL and let
+        # the JVM coalesce with the input column it already holds —
+        # ~80% of the return payload vanishes (measured 12.5→10.3s on
+        # the score stage at sf1.0, value-identical incl. the
+        # null-input case, which ships its '' explicitly).
         rows.append(
             (
-                sr.text,
+                sr.text if (sr.n_edits or t is None) else None,
                 sr.n_email,
                 sr.n_phone,
                 sr.n_ip,
@@ -160,7 +168,10 @@ def decide(
 
     scored = pages.withColumn("__s", score_udf(F.col("text")))
     s = F.col("__s")
-    scrubbed = s["scrubbed"]
+    # NULL scrubbed = "no edits" sentinel from score_udf — the
+    # original text column is still in scope here, so the coalesce
+    # reconstructs the identical value without the Arrow round-trip
+    scrubbed = F.coalesce(s["scrubbed"], F.col("text"))
     stats = {k: s[k] for k in STAT_FIELDS}
     fired = H.fired_rules_expr(
         stats,
